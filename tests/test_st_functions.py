@@ -1,0 +1,177 @@
+"""SQL-surface tests for the st_* UDFs, ported from the reference's
+SpatialRelationFunctionsTest / SparkSQLSpatialRelationshipsTest /
+constructor+accessor test files: same fixtures, same expected values,
+including null propagation for every function exercised."""
+
+import pytest
+
+BOX = "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"
+
+
+def q(spark, sql):
+    return spark.sql(sql).collect()[0][0]
+
+
+def test_constructors(spark):
+    assert q(spark, "select st_asText(st_geomFromWKT('POINT(1 2)'))") == "POINT (1 2)"
+    assert q(spark, "select st_asText(st_makePoint(1, 2))") == "POINT (1 2)"
+    assert q(spark, "select st_asText(st_point(1.5, 2.5))") == "POINT (1.5 2.5)"
+    assert q(spark, "select st_asText(st_makeBBOX(0, 0, 2, 2))").startswith("POLYGON")
+    assert q(spark,
+             "select st_asText(st_makeBox2D(st_makePoint(0,0), st_makePoint(2,3)))") \
+        == "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+    assert q(spark,
+             "select st_asText(st_makePolygon(st_lineFromText('LINESTRING(0 0, 1 0, 1 1, 0 0)')))") \
+        == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    assert q(spark,
+             "select st_asText(st_makeLine(array(st_makePoint(0,0), st_makePoint(1,1))))") \
+        == "LINESTRING (0 0, 1 1)"
+    gj = '{"type":"Point","coordinates":[1.0,2.0]}'
+    assert q(spark, f"select st_asText(st_geomFromGeoJSON('{gj}'))") == "POINT (1 2)"
+    # WKB round trip through SQL
+    assert q(spark,
+             "select st_asText(st_geomFromWKB(st_asBinary(st_makePoint(3, 4))))") \
+        == "POINT (3 4)"
+    # geohash
+    assert q(spark,
+             "select st_asText(st_pointFromGeoHash(st_geoHash(st_makePoint(-77, 38.9), 35), 35))") \
+        .startswith("POINT")
+
+
+def test_constructor_casts_and_m(spark):
+    assert q(spark, "select st_asText(st_castToPoint(st_makePoint(1,1)))") == "POINT (1 1)"
+    assert q(spark, "select st_castToPolygon(st_makePoint(1,1))") is None
+    assert q(spark, "select st_byteArray('ab')") == bytearray(b"ab")
+    # PointM WKB has the M ordinate
+    r = q(spark, "select st_coordDim(st_makePointM(1, 2, 5))")
+    assert r == 3
+    assert q(spark, "select st_coordDim(st_makePoint(1, 2))") == 2
+
+
+def test_accessors(spark):
+    assert q(spark, f"select st_dimension(st_geomFromWKT('{BOX}'))") == 2
+    assert q(spark, "select st_dimension(st_geomFromWKT('LINESTRING(0 0, 1 1)'))") == 1
+    assert q(spark, f"select st_asText(st_envelope(st_geomFromWKT('LINESTRING(1 2, 3 4)')))") \
+        == "POLYGON ((1 2, 3 2, 3 4, 1 4, 1 2))"
+    assert q(spark, f"select st_asText(st_exteriorRing(st_geomFromWKT('{BOX}')))") \
+        == "LINESTRING (0 0, 0 10, 10 10, 10 0, 0 0)"
+    assert q(spark, "select st_geometryType(st_makePoint(0,0))") == "Point"
+    assert q(spark,
+             "select st_asText(st_geometryN(st_geomFromWKT('MULTIPOINT((1 1),(2 2))'), 2))") \
+        == "POINT (2 2)"
+    assert q(spark, "select st_isClosed(st_geomFromWKT('LINESTRING(0 0, 1 1)'))") is False
+    assert q(spark, "select st_isClosed(st_makePoint(0,0))") is True
+    assert q(spark, "select st_isCollection(st_geomFromWKT('GEOMETRYCOLLECTION(POINT(1 1))'))") is True
+    assert q(spark, "select st_isEmpty(st_geomFromWKT('POINT EMPTY'))") is True
+    assert q(spark, "select st_isValid(st_geomFromWKT('POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))'))") is True
+    assert q(spark, "select st_numGeometries(st_geomFromWKT('MULTIPOINT((1 1),(2 2))'))") == 2
+    assert q(spark, f"select st_numPoints(st_geomFromWKT('{BOX}'))") == 5
+    # negative index wraps (GeometricAccessorFunctions.scala:62-74)
+    assert q(spark,
+             "select st_asText(st_pointN(st_geomFromWKT('LINESTRING(0 0, 1 1, 2 2)'), -1))") \
+        == "POINT (2 2)"
+    # st_x/st_y are FLOAT and null for non-points (:75-82)
+    x = q(spark, "select st_x(st_makePoint(1.5, 2.5))")
+    assert abs(x - 1.5) < 1e-6 and type(x) is float
+    assert q(spark, f"select st_x(st_geomFromWKT('{BOX}'))") is None
+    # boundary
+    assert q(spark, "select st_asText(st_boundary(st_geomFromWKT('LINESTRING(0 0, 1 1)')))") \
+        == "MULTIPOINT ((0 0), (1 1))"
+
+
+def test_outputs(spark):
+    assert q(spark, "select st_asGeoJSON(st_makePoint(1, 2))") \
+        == '{"type":"Point","coordinates":[1.0,2.0]}'
+    assert q(spark, "select st_asLatLonText(st_makePoint(-76.5, 38.5))") \
+        == "38°30'0.000\"N 77°30'0.000\"W"
+    gh = q(spark, "select st_geoHash(st_makePoint(-77.0091, 38.8899), 35)")
+    assert len(gh) == 7
+
+
+def test_relations(spark):
+    assert q(spark, f"select st_contains(st_geomFromWKT('{BOX}'), st_makePoint(5,5))") is True
+    assert q(spark, f"select st_contains(st_geomFromWKT('{BOX}'), st_makePoint(0,5))") is False
+    assert q(spark, f"select st_covers(st_geomFromWKT('{BOX}'), st_makePoint(0,5))") is True
+    assert q(spark, f"select st_intersects(st_geomFromWKT('{BOX}'), st_makePoint(0,0))") is True
+    assert q(spark, f"select st_disjoint(st_geomFromWKT('{BOX}'), st_makePoint(-5,0))") is True
+    assert q(spark,
+             "select st_relate(st_geomFromWKT('LINESTRING(1 2, 3 4)'), st_geomFromWKT('LINESTRING(5 6, 7 8)'))") \
+        == "FF1FF0102"
+    assert q(spark,
+             "select st_relateBool(st_geomFromWKT('LINESTRING(1 2, 3 4)'), st_geomFromWKT('LINESTRING(5 6, 7 8)'), 'FF*FF****')") is True
+
+
+def test_measures(spark):
+    assert q(spark, f"select st_area(st_geomFromWKT('{BOX}'))") == 100.0
+    assert q(spark, f"select st_length(st_geomFromWKT('{BOX}'))") == 40.0
+    assert q(spark, f"select st_asText(st_centroid(st_geomFromWKT('{BOX}')))") == "POINT (5 5)"
+    assert q(spark,
+             f"select st_asText(st_closestPoint(st_geomFromWKT('{BOX}'), st_makePoint(15, 5)))") \
+        == "POINT (10 5)"
+    assert q(spark, "select st_distance(st_makePoint(0,0), st_makePoint(10,0))") == 10.0
+    d = q(spark, "select st_distanceSphere(st_makePoint(0,0), st_makePoint(10,0))")
+    assert abs(d - 1111950.0) < 1.0
+    d2 = q(spark, "select st_distanceSpheroid(st_makePoint(0,0), st_makePoint(10,0))")
+    assert abs(d2 - 1113194.9) < 1.0
+    d3 = q(spark,
+           "select st_aggregateDistanceSphere(array(st_asBinary(st_makePoint(0,0)), st_asBinary(st_makePoint(10,0))))")
+    assert abs(d3 - 1111950.0) < 1.0
+    assert q(spark, "select st_asText(st_translate(st_geomFromWKT('LINESTRING(0 0, 10 0)'), 1, 2))") \
+        == "LINESTRING (1 2, 11 2)"
+
+
+def test_processing(spark):
+    t = q(spark,
+          "select st_geometryType(st_antimeridianSafeGeom(st_geomFromWKT('POLYGON((175 -5, 185 -5, 185 5, 175 5, 175 -5))')))")
+    assert t == "MultiPolygon"
+    t2 = q(spark, "select st_geometryType(st_bufferPoint(st_makePoint(0, 0), 1000.0))")
+    assert t2 == "Polygon"
+    x = q(spark,
+          "select st_x(st_castToPoint(st_transform(st_makePoint(-77.0, 38.9), 'EPSG:4326', 'EPSG:3857')))")
+    assert abs(x - -8571600) < 2000
+
+
+def test_overlays(spark):
+    a = q(spark,
+          f"select st_area(st_intersection(st_geomFromWKT('{BOX}'), st_geomFromWKT('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))')))")
+    assert a == 25.0
+
+
+NULLARY = [
+    "st_contains(null, null)", "st_covers(null, null)", "st_crosses(null, null)",
+    "st_disjoint(null, null)", "st_equals(null, null)", "st_intersects(null, null)",
+    "st_overlaps(null, null)", "st_touches(null, null)", "st_within(null, null)",
+    "st_relate(null, null)", "st_relateBool(null, null, null)",
+    "st_area(null)", "st_centroid(null)", "st_closestPoint(null, null)",
+    "st_distance(null, null)", "st_distanceSphere(null, null)", "st_length(null)",
+    "st_geomFromWKT(null)", "st_asText(null)", "st_asBinary(null)",
+    "st_asGeoJSON(null)", "st_boundary(null)", "st_dimension(null)",
+    "st_envelope(null)", "st_geometryType(null)", "st_isEmpty(null)",
+    "st_numPoints(null)", "st_x(null)", "st_y(null)", "st_translate(null, 1, 2)",
+    "st_bufferPoint(null, 10.0)", "st_antimeridianSafeGeom(null)",
+    "st_intersection(null, null)", "st_difference(null, null)",
+    "st_distanceSpheroid(null, null)", "st_lengthSphere(null)",
+]
+
+
+@pytest.mark.parametrize("expr", NULLARY)
+def test_null_propagation(spark, expr):
+    # nullableUDF semantics (SQLFunctionHelper.scala:22-53)
+    assert q(spark, f"select {expr}") is None
+
+
+def test_dsl_matches_sql(spark):
+    """Dual-path equivalence (JTSQueryTest / DataFrameFunctionsTest pattern)."""
+    from geomesa_spark.functions.st import get_udfs
+    from pyspark.sql import functions as F
+
+    u = get_udfs()
+    df = spark.range(1).select(
+        u["st_contains"](
+            u["st_geomFromWKT"](F.lit(BOX)),
+            u["st_makePoint"](F.lit(5.0), F.lit(5.0))).alias("c"),
+        u["st_asText"](u["st_centroid"](u["st_geomFromWKT"](F.lit(BOX)))).alias("t"),
+    )
+    row = df.collect()[0]
+    assert row["c"] is True
+    assert row["t"] == "POINT (5 5)"
