@@ -1,38 +1,387 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial-join on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each, run on the
+same parquet tables at sf0.01 by the driver's correctness gate.
+
+Spatial columns are derived deterministically from ``events.event_id`` with
+integer arithmetic exact in both engines:
+    lon = (event_id * 7919  % 36000) / 100.0 - 180.0
+    lat = (event_id * 104729 % 18000) / 100.0 - 90.0
+Region boxes are seeded (np.random.default_rng(0)) mirroring the reference's
+join-oracle generator (SparkSQLTestUtils.scala:36-37,101-112) and inlined
+into the oracle SQL as a VALUES list.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EARTH_R = 6371008.7714
+N_REGIONS = 100
+KNN_K = 10
+KNN_QUERIES = [
+    ("q-0", 12.3, 45.6), ("q-1", 0.0, 0.0), ("q-2", 179.9, 10.0),
+    ("q-3", -179.9, 10.0), ("q-4", 20.0, 89.5), ("q-5", -60.0, -80.0),
+    ("q-6", -122.4, 37.8), ("q-7", 151.2, -33.9),
+]
+
+_REGISTERED = set()
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _ensure_functions(spark: SparkSession) -> None:
+    if id(spark) not in _REGISTERED:
+        from geomesa_spark.functions import register_all
+        register_all(spark)
+        _REGISTERED.add(id(spark))
+
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "event_type", "value",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+
+
+def _regions() -> list[tuple[str, float, float, float, float]]:
+    rng = np.random.default_rng(0)
+    out = []
+    for j in range(N_REGIONS):
+        cx = rng.uniform(-180, 180)
+        cy = rng.uniform(-90, 90)
+        hw = 1.5 * rng.uniform()
+        hh = 0.5 * rng.uniform()
+        out.append((str(j + 1), float(cx - hw), float(cy - hh),
+                    float(cx + hw), float(cy + hh)))
+    return out
+
+
+def _regions_df(spark: SparkSession) -> DataFrame:
+    from geomesa_spark.geo import Polygon, to_wkb
+    rows = [(rid, bytearray(to_wkb(Polygon(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
+        for (rid, x0, y0, x1, y1) in _regions()]
+    return spark.createDataFrame(rows, "region_id string, geom binary")
+
+
+def _regions_values_sql() -> str:
+    rows = ", ".join(
+        f"('{rid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for (rid, x0, y0, x1, y1) in _regions())
+    return f"(VALUES {rows}) AS r(region_id, x0, y0, x1, y1)"
+
+
+_POINTS_SQL = ("(SELECT event_id, event_type, value, "
+               "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+               "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM events)")
+
+
+# ------------------------------------------------------------- queries
+
+def q_spatial_join_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.join import spatial_join
+    pts = _events_points(spark, sf_dir)
+    out = spatial_join(pts, _regions_df(spark), predicate="st_contains",
+                       broadcast_regions=True)
+    return out.select("event_id", "region_id")
+
+
+def q_spatial_join_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.join import spatial_join
+    pts = _events_points(spark, sf_dir)
+    out = spatial_join(pts, _regions_df(spark), predicate="st_intersects",
+                       broadcast_regions=True)
+    return out.groupBy("region_id").agg(F.count("*").alias("n_points"))
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.knn import knn_join
+    pts = _events_points(spark, sf_dir)
+    out = knn_join(pts, KNN_QUERIES, KNN_K, tiebreak=["event_id"])
+    return out.select(
+        "query_id", "rank", "event_id",
+        F.round(F.col("dist_m"), 3).alias("dist_m"))
+
+
+def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geomesa_spark.operators.density import density
+    pts = _events_points(spark, sf_dir)
+    out = density(pts, envelope=(-180.0, -90.0, 180.0, 90.0), width=72,
+                  height=36)
+    return out.select(
+        F.col("col").cast("long").alias("col"),
+        F.col("row").cast("long").alias("row"),
+        "x", "y",
+        F.col("weight").cast("long").alias("weight"))
+
+
+def q_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2 cell ids computed by the vectorized kernel, aggregated per cell —
+    checked against a bit-by-bit SQL reimplementation of the Morton code."""
+    from geomesa_spark.operators.join import udf_point_cell
+    pts = _events_points(spark, sf_dir)
+    out = pts.withColumn("cell", udf_point_cell("lon", "lat")) \
+             .groupBy("cell").agg(F.count("*").alias("n"))
+    return out
+
+
+def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned bbox scan: cover filter + exact refine."""
+    from geomesa_spark.operators.join import udf_point_cell
+    from geomesa_spark.plans.planner import prune_by_geometry
+    from geomesa_spark.geo import from_wkt
+    box = from_wkt("POLYGON((-30 -20, 40 -20, 40 35, -30 35, -30 -20))")
+    pts = _events_points(spark, sf_dir) \
+        .withColumn("cell_prefix", udf_point_cell("lon", "lat"))
+    pruned = prune_by_geometry(pts, box)
+    out = pruned.where((F.col("lon") >= -30) & (F.col("lon") <= 40)
+                       & (F.col("lat") >= -20) & (F.col("lat") <= 35))
+    return out.select("event_id")
+
+
+def q_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_distanceSphere predicate: events within 1000 km of a point."""
+    _ensure_functions(spark)
+    _events_points(spark, sf_dir).createOrReplaceTempView("pts")
+    return spark.sql("""
+        SELECT event_id,
+               round(st_distanceSphere(st_makePoint(lon, lat),
+                                       st_makePoint(2.35d, 48.85d)), 3) AS dist_m
+        FROM pts
+        WHERE st_distanceSphere(st_makePoint(lon, lat),
+                                st_makePoint(2.35d, 48.85d)) <= 1000000.0
+        """)
+
+
+def q_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_geoHash binning (25-bit = 5-char geohash) with counts."""
+    _ensure_functions(spark)
+    _events_points(spark, sf_dir).createOrReplaceTempView("pts")
+    return spark.sql("""
+        SELECT st_geoHash(st_makePoint(lon, lat), 25) AS gh,
+               count(*) AS n
+        FROM pts GROUP BY 1 HAVING count(*) > 1""")
+
+
+def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMax + Count + cardinality stats (StatsScan semantics)."""
+    pts = _events_points(spark, sf_dir)
+    return pts.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+        F.countDistinct("event_type").alias("n_types"))
+
+
+def q_unique_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueProcess: distinct attribute values with counts, sorted."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-10 sampling per track key (SamplingIterator
+    semantics: keep every nth feature per key)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.withColumn("rn", F.row_number().over(w)) \
+             .where(F.col("rn") % 10 == 1) \
+             .select("event_id", "user_id")
+
+
+def q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per event_type (TopK stat / window rank)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return ev.withColumn("rank", F.row_number().over(w)) \
+             .where(F.col("rank") <= 3) \
+             .select("event_type", "rank", "event_id", "value")
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin range histogram (Histogram stat: min/max/bins)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bin_expr = F.least(F.floor((F.col("value") - 0.0) / 25.0), F.lit(39)) \
+        .cast("long")
+    return ev.where((F.col("value") >= 0) & (F.col("value") <= 1000)) \
+             .groupBy(bin_expr.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (relational parity of the engine)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def q_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute equi-join with filter pushdown (JoinProcess analog)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .where(F.col("o_totalprice") > 100000.0)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "spatial_join_contains": q_spatial_join_contains,
+        "spatial_join_intersects": q_spatial_join_intersects,
+        "knn": q_knn,
+        "density_grid": q_density_grid,
+        "cell_assignment": q_cell_assignment,
+        "bbox_query": q_bbox_query,
+        "distance_filter": q_distance_filter,
+        "geohash_agg": q_geohash_agg,
+        "stats_minmax": q_stats_minmax,
+        "unique_values": q_unique_values,
+        "sampling": q_sampling,
+        "topk_per_key": q_topk_per_key,
+        "histogram": q_histogram,
+        "tpch_pricing_summary": q_tpch_pricing_summary,
+        "join_pushdown": q_join_pushdown,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles
+
+def _haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (f"2 * {EARTH_R!r} * asin(least(1.0, sqrt("
+            f"sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2))))")
+
+
+def _z2_sql(res: int) -> str:
+    """Morton interleave of res-bit bins as a DuckDB expression."""
+    n = 1 << res
+    xbin = f"least(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1})"
+    ybin = f"least(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), {n - 1})"
+    terms = []
+    for i in range(res):
+        terms.append(f"((({xbin}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((({ybin}) >> {i}) & 1) << {2 * i + 1}")
+    return " | ".join(f"({t})" for t in terms)
+
+
+def _knn_values_sql() -> str:
+    rows = ", ".join(f"('{qid}', {qlon!r}, {qlat!r})"
+                     for (qid, qlon, qlat) in KNN_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, qlon, qlat)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _POINTS_SQL
+    regions = _regions_values_sql()
+    hav = _haversine_sql("p.lon", "p.lat", "q.qlon", "q.qlat")
+    hav_paris = _haversine_sql("lon", "lat", "2.35", "48.85")
+    return {
+        "spatial_join_contains": f"""
+            SELECT p.event_id, r.region_id
+            FROM {pts} p JOIN {regions}
+              ON p.lon > r.x0 AND p.lon < r.x1 AND p.lat > r.y0 AND p.lat < r.y1
+            ORDER BY p.event_id, r.region_id""",
+        "spatial_join_intersects": f"""
+            SELECT r.region_id, count(*) AS n_points
+            FROM {pts} p JOIN {regions}
+              ON p.lon >= r.x0 AND p.lon <= r.x1 AND p.lat >= r.y0 AND p.lat <= r.y1
+            GROUP BY r.region_id ORDER BY r.region_id""",
+        "knn": f"""
+            SELECT query_id, rank, event_id, dist_m FROM (
+              SELECT q.query_id,
+                     row_number() OVER (PARTITION BY q.query_id ORDER BY {hav}, p.event_id) AS rank,
+                     p.event_id,
+                     round({hav}, 3) AS dist_m
+              FROM {pts} p CROSS JOIN {_knn_values_sql()}
+            ) WHERE rank <= {KNN_K} ORDER BY query_id, rank""",
+        "density_grid": f"""
+            SELECT col, row,
+                   -180.0 + (col + 0.5) * 5.0 AS x,
+                   -90.0 + (row + 0.5) * 5.0 AS y,
+                   count(*) AS weight
+            FROM (SELECT least(CAST(floor((lon - -180.0) / 5.0) AS BIGINT), 71) AS col,
+                         least(CAST(floor((lat - -90.0) / 5.0) AS BIGINT), 35) AS row
+                  FROM {pts})
+            GROUP BY col, row ORDER BY col, row""",
+        "cell_assignment": f"""
+            SELECT ({_z2_sql(4)}) AS cell, count(*) AS n
+            FROM {pts} GROUP BY 1 ORDER BY cell""",
+        "bbox_query": f"""
+            SELECT event_id FROM {pts}
+            WHERE lon >= -30 AND lon <= 40 AND lat >= -20 AND lat <= 35
+            ORDER BY event_id""",
+        "distance_filter": f"""
+            SELECT event_id, round({hav_paris}, 3) AS dist_m
+            FROM {pts} WHERE {hav_paris} <= 1000000.0 ORDER BY event_id""",
+        "stats_minmax": f"""
+            SELECT count(*) AS cnt,
+                   round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+                   round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
+                   count(DISTINCT event_type) AS n_types
+            FROM {pts}""",
+        "unique_values": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type""",
+        "sampling": """
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events) WHERE rn % 10 = 1 ORDER BY event_id""",
+        "topk_per_key": """
+            SELECT event_type, rank, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events) WHERE rank <= 3 ORDER BY event_type, rank""",
+        "histogram": """
+            SELECT least(CAST(floor(value / 25.0) AS BIGINT), 39) AS bin,
+                   count(*) AS n
+            FROM events WHERE value >= 0 AND value <= 1000
+            GROUP BY 1 ORDER BY bin""",
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "join_pushdown": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 100000.0
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    }
+    # geohash_agg deliberately has no oracle (geohash not expressible in
+    # ANSI SQL) -> driver records a rows-only check.
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: broadcast point-in-polygon spatial join on sf0.001."""
+    return q_spatial_join_contains(spark, "/root/testdata/sf0.001")

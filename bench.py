@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": rows_per_sec, "unit": "rows/sec",
+   "queries": {name: seconds, ...}, "sf": ..., "cpus": N, ...}
+
+The headline metric is spatial-join + tile-assignment throughput
+(BASELINE.json): rows of the point table processed per second through the
+flagship broadcast point-in-polygon join + Z2 tile assignment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("geomesa-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(8, cpus * 2)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.driver.memory", "16g")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+            .getOrCreate())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qfns = entrymod.queries()
+    bench_queries = [
+        "spatial_join_contains", "spatial_join_intersects", "knn",
+        "density_grid", "cell_assignment", "bbox_query",
+        "tpch_pricing_summary", "join_pushdown", "topk_per_key",
+    ]
+    # include every other registered query not in the headline list
+    bench_queries += [q for q in qfns if q not in bench_queries]
+
+    n_points = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        fn = qfns[name]
+        # warm lazily-built UDF/py-worker state once at tiny scale
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        cnt = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({cnt} rows)", file=sys.stderr)
+
+    join_secs = timings["spatial_join_contains"]
+    assign_secs = timings["cell_assignment"]
+    value = round(n_points / (join_secs + assign_secs), 1)
+
+    out = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": value,
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "n_points": n_points,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

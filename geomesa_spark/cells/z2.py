@@ -163,14 +163,14 @@ def bbox_cover(xmin: float, ymin: float, xmax: float, ymax: float,
     xmin, xmax = max(xmin, _LON_MIN), min(xmax, _LON_MAX)
     if xmin > xmax or ymin > ymax:
         return np.empty(0, dtype=np.int64)
-    bx0, by0 = lonlat_to_bins(xmin, ymin, res)
-    bx1, by1 = lonlat_to_bins(xmax, ymax, res)
-    nx = int(bx1 - bx0 + 1)
-    ny = int(by1 - by0 + 1)
+    bx0, by0 = (int(v[0]) for v in lonlat_to_bins(xmin, ymin, res))
+    bx1, by1 = (int(v[0]) for v in lonlat_to_bins(xmax, ymax, res))
+    nx = bx1 - bx0 + 1
+    ny = by1 - by0 + 1
     if nx * ny > max_cells:
         raise ValueError(f"bbox cover of {nx * ny} cells exceeds budget {max_cells}")
-    xs = np.arange(int(bx0), int(bx1) + 1, dtype=np.int64)
-    ys = np.arange(int(by0), int(by1) + 1, dtype=np.int64)
+    xs = np.arange(bx0, bx1 + 1, dtype=np.int64)
+    ys = np.arange(by0, by1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return np.sort(z_encode(gx.ravel(), gy.ravel()))
 

@@ -1,0 +1,100 @@
+"""Driver-side planning: spatial predicate -> cell-cover partition filter.
+
+The reference's planning pipeline (ECQL -> FilterStrategy -> SFC ranges ->
+backend scans; /root/reference/geomesa-index-api/.../planning/
+QueryPlanner.scala, FilterSplitter.scala, Z2IndexKeySpace.scala:75-124)
+collapses, in Spark, to: extract the query geometry on the driver, compute
+its cell cover, and prepend a partition-column IN-filter that Catalyst/
+parquet partition pruning handles natively. The exact predicate then refines
+the over-selecting cover downstream (strict-bbox semantics,
+Z2IndexKeySpace.useFullFilter:126-138).
+
+Short-circuits mirrored from the reference (Z2IndexKeySpace.scala:84-87,
+FilterHelper.isFilterWholeWorld:44-51):
+- query disjoint from the world -> empty scan,
+- whole-world query -> no partition filter at all,
+- cover exceeding the range budget -> coarsen, never fail the query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from geomesa_spark.cells import PARTITION_RES, bbox_cover, cell_bounds
+from geomesa_spark.geo.model import Geometry, Polygon, flatten
+from geomesa_spark.geo.predicates import disjoint as geo_disjoint
+from geomesa_spark.geo.predicates import intersects as geo_intersects
+
+_WORLD_BOUNDS = (-180.0, -90.0, 180.0, 90.0)
+DEFAULT_MAX_COVER = 4096  # range budget, analog of ScanRangesTarget
+
+
+def cell_cover_of_geometry(geom: Geometry, res: int = PARTITION_RES,
+                           max_cells: int = DEFAULT_MAX_COVER,
+                           exact: bool = True) -> np.ndarray | None:
+    """Cells at ``res`` overlapping ``geom``; None means "whole world, do
+    not filter". Over-selects, never under-selects.
+
+    ``exact``: drop cover cells whose rectangle does not intersect the
+    geometry (tighter than bbox for polygons — the XZ/polygon-decomposition
+    trick of the reference, GeometryUtils.bounds + Z2IndexKeySpace:89-95).
+    """
+    x0, y0, x1, y1 = geom.bounds()
+    if not np.isfinite(x0):
+        return np.empty(0, dtype=np.int64)
+    if (x0 <= _WORLD_BOUNDS[0] and y0 <= _WORLD_BOUNDS[1]
+            and x1 >= _WORLD_BOUNDS[2] and y1 >= _WORLD_BOUNDS[3]):
+        return None  # whole-world: scan everything
+    use_res = res
+    while True:
+        try:
+            cover = bbox_cover(x0, y0, x1, y1, res=use_res, max_cells=max_cells)
+            break
+        except ValueError:
+            use_res -= 1  # coarsen instead of failing (budget semantics)
+            if use_res < 0:
+                return None
+    if use_res != res:
+        # caller's partition column is at ``res``; recompute at res from the
+        # coarse cells' bounds (still a valid over-selection)
+        lo0, la0, lo1, la1 = cell_bounds(cover, use_res)
+        cover = np.unique(np.concatenate([
+            bbox_cover(a, b, c, d, res=res, max_cells=1 << 31)
+            for a, b, c, d in zip(lo0, la0, lo1, la1)]))
+    if exact and len(cover) > 1:
+        keep = []
+        for c in cover.tolist():
+            cx0, cy0, cx1, cy1 = (float(v[0]) for v in cell_bounds(np.asarray([c]), res))
+            cellpoly = Polygon([[cx0, cy0], [cx1, cy0], [cx1, cy1], [cx0, cy1],
+                                [cx0, cy0]])
+            if geo_intersects(cellpoly, geom):
+                keep.append(c)
+        cover = np.asarray(keep, dtype=np.int64)
+    return cover
+
+
+def prune_by_geometry(df: DataFrame, geom: Geometry, cell_col: str = "cell_prefix",
+                      res: int = PARTITION_RES,
+                      max_cells: int = DEFAULT_MAX_COVER) -> DataFrame:
+    """Prepend the partition filter for a query geometry.
+
+    With a parquet/Iceberg table partitioned by ``cell_col``, Catalyst turns
+    the IN-list into partition pruning (the FS datastore's
+    getIntersectingPartitions, SpatialScheme.scala:43-59).
+    """
+    cover = cell_cover_of_geometry(geom, res=res, max_cells=max_cells)
+    if cover is None:
+        return df
+    if len(cover) == 0:
+        return df.where(F.lit(False))
+    return df.where(F.col(cell_col).isin([int(c) for c in cover.tolist()]))
+
+
+def query_guard(geom: Geometry | None, *, allow_full_scan: bool = False) -> None:
+    """Refuse planless full scans unless explicitly allowed (semantics of
+    planning/guard/FullTableScanQueryGuard.scala)."""
+    if geom is None and not allow_full_scan:
+        raise ValueError(
+            "query has no spatial bounds; pass allow_full_scan=True to permit "
+            "a full-table scan")

@@ -1,0 +1,121 @@
+"""Spatial-join equivalence oracle: engine output must equal the brute-force
+cartesian result — the reference's own oracle pattern
+(SparkSQLDataTest.scala:298-352, seeded generators SparkSQLTestUtils.scala:
+36-37,93-112)."""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.geo import Point, Polygon, to_wkb
+from geomesa_spark.operators.join import (
+    locate_points_in_geometry,
+    spatial_join,
+    spatial_join_pairs,
+)
+
+RNG = np.random.default_rng(0)
+N_POINTS = 400
+N_BOXES = 120
+
+
+def make_points():
+    lon = RNG.uniform(-180, 180, N_POINTS)
+    lat = RNG.uniform(-90, 90, N_POINTS)
+    return lon, lat
+
+
+def make_boxes(n, rng):
+    boxes = []
+    for j in range(n):
+        cx = rng.uniform(-180, 180)
+        cy = rng.uniform(-90, 90)
+        hw = 1.5 * rng.uniform()
+        hh = 0.5 * rng.uniform()
+        boxes.append((str(j + 1), cx - hw, cy - hh, cx + hw, cy + hh))
+    return boxes
+
+
+LON, LAT = make_points()
+BOXES = make_boxes(N_BOXES, RNG)
+
+
+def box_poly(x0, y0, x1, y1):
+    return Polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+
+def brute_force_pairs(predicate="st_contains"):
+    out = set()
+    for (bid, x0, y0, x1, y1) in BOXES:
+        if predicate == "st_contains":
+            hit = (LON > x0) & (LON < x1) & (LAT > y0) & (LAT < y1)
+        else:  # intersects: boundary counts
+            hit = (LON >= x0) & (LON <= x1) & (LAT >= y0) & (LAT <= y1)
+        for i in np.nonzero(hit)[0]:
+            out.add((int(i), bid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    pts = spark.createDataFrame(
+        [(int(i), float(LON[i]), float(LAT[i])) for i in range(N_POINTS)],
+        "point_id int, lon double, lat double")
+    regs = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(x0, y0, x1, y1))))
+         for (bid, x0, y0, x1, y1) in BOXES],
+        "region_id string, geom binary")
+    return pts, regs
+
+
+def run_join(frames, predicate, **kw):
+    pts, regs = frames
+    out = spatial_join(pts, regs, predicate=predicate, **kw)
+    return {(r.point_id, r.region_id) for r in out.select("point_id", "region_id").collect()}
+
+
+def test_contains_matches_brute_force(frames):
+    assert run_join(frames, "st_contains") == brute_force_pairs("st_contains")
+
+
+def test_intersects_matches_brute_force(frames):
+    assert run_join(frames, "st_intersects") == brute_force_pairs("st_intersects")
+
+
+def test_broadcast_and_salted_paths_agree(frames):
+    expected = brute_force_pairs("st_contains")
+    assert run_join(frames, "st_contains", broadcast_regions=True) == expected
+    assert run_join(frames, "st_contains", salt=4) == expected
+
+
+def test_join_pairs_boxes_vs_boxes(spark):
+    rng = np.random.default_rng(7)
+    left = make_boxes(40, rng)
+    right = make_boxes(40, rng)
+    lf = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(*b)))) for (bid, *b) in left],
+        "left_id string, geom binary")
+    rf = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(*b)))) for (bid, *b) in right],
+        "right_id string, geom_r binary")
+    got = {(r.left_id, r.right_id)
+           for r in spatial_join_pairs(lf, rf, predicate="st_intersects")
+           .select("left_id", "right_id").collect()}
+    expected = set()
+    for (lid, lx0, ly0, lx1, ly1) in left:
+        for (rid, rx0, ry0, rx1, ry1) in right:
+            if lx0 <= rx1 and rx0 <= lx1 and ly0 <= ry1 and ry0 <= ly1:
+                expected.add((lid, rid))
+    assert got == expected
+
+
+def test_locate_vectorized_matches_scalar():
+    from geomesa_spark.geo import predicates as gp
+    poly = Polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                   [[[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]]])
+    xs = np.array([5.0, 1.0, 0.0, -1.0, 3.0, 10.0, 5.0])
+    ys = np.array([5.0, 1.0, 5.0, 5.0, 5.0, 10.0, 0.0])
+    got = locate_points_in_geometry(xs, ys, poly)
+    for i in range(len(xs)):
+        loc = gp.locate(poly, float(xs[i]), float(ys[i]))
+        want = {"I": 1, "B": 0, "E": -1}[loc]
+        assert got[i] == want, (xs[i], ys[i], got[i], want)
