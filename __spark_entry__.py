@@ -246,6 +246,107 @@ def q_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+# ---------------------------------------------- training-data pipeline ops
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword features per document."""
+    from geomesa_spark.text.analysis import quality_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id", "q_chars", "q_tokens", "q_avg_token_len",
+        "q_punct_ratio", "q_stopword_ratio", "q_score")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: predicted language counts."""
+    from geomesa_spark.text.analysis import lang_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (lang_id(docs).groupBy("lang_pred")
+            .agg(F.count("*").alias("n")))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (rows-only: crc32 not in DuckDB;
+    exact oracle lives in tests/test_text_pipeline.py)."""
+    from geomesa_spark.text.analysis import fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keeper id + group size."""
+    from geomesa_spark.text.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard near-dup pairs (threshold 0.3)."""
+    from geomesa_spark.text.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (threshold 0.5): output
+    equals brute-force Jaccard pairs (miss prob <= (1-t^2)^64 ~ 1e-8)."""
+    from geomesa_spark.text.dedup import minhash_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_pairs(docs, threshold=0.5)
+
+
+def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming 3 (rows-only: crc32 not in
+    DuckDB; pigeonhole-exact semantics tested in pytest)."""
+    from geomesa_spark.text.dedup import simhash_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for every 50th vector as query."""
+    from geomesa_spark.ml.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding")
+    out = cosine_topk(emb, queries_df, 10)
+    return out.select("query_id", "rank", "vec_id")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4)."""
+    from geomesa_spark.ml.similarity import embedding_near_dup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.4).select("a", "b")
+
+
+def _n_images(sf_dir: str) -> int:
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    return max(200, int(50_000 * sf))
+
+
+def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile assignment over the deterministic image fixture (rows-only:
+    sha256 phash + Gaussian clusters are not SQL-expressible; tile math is
+    oracle-checked via cell_assignment and pytest)."""
+    from geomesa_spark.operators.tiles import tile_counts
+    from geomesa_spark.raster.fixtures import images_df
+    return tile_counts(images_df(spark, _n_images(sf_dir)))
+
+
+def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode images (pandas-UDF codec) and aggregate pixel features per
+    format (rows-only; decode fidelity is pytest-gated at PSNR>=40dB)."""
+    from geomesa_spark.operators.tiles import image_features
+    from geomesa_spark.raster.fixtures import images_df
+    imgs = images_df(spark, _n_images(sf_dir))
+    return (image_features(imgs)
+            .join(imgs.select("image_id", "fmt"), "image_id")
+            .groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("brightness"), 3).alias("avg_brightness")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_contains": q_spatial_join_contains,
@@ -263,6 +364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_pushdown": q_join_pushdown,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_dedup_pairs": q_simhash_dedup_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "image_tile_counts": q_image_tile_counts,
+        "image_brightness": q_image_brightness,
     }
 
 
@@ -293,11 +405,44 @@ def _knn_values_sql() -> str:
     return f"(VALUES {rows}) AS q(query_id, qlon, qlat)"
 
 
+_TOKS_SQL = ("(SELECT doc_id, text, length(text) AS nc, "
+             "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks "
+             "FROM documents)")
+
+_SHINGLES_SQL = f"""
+    (SELECT doc_id,
+            CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 ELSE [list_reduce(toks, (x, y) -> x || ' ' || y)] END AS sh
+     FROM {_TOKS_SQL})"""
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+        WITH e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+                   FROM {_SHINGLES_SQL})
+        SELECT a, b, jaccard FROM (
+          SELECT ea.doc_id AS a, eb.doc_id AS b,
+                 round(count(*) / CAST(ea.n + eb.n - count(*) AS DOUBLE),
+                       6) AS jaccard
+          FROM e ea JOIN e eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+          GROUP BY ea.doc_id, eb.doc_id, ea.n, eb.n)
+        WHERE jaccard >= {threshold} ORDER BY a, b"""
+
+
+def _lang_markers_sql() -> dict[str, str]:
+    from geomesa_spark.text.analysis import LANG_MARKERS
+    return {lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"
+            for lang, ms in LANG_MARKERS.items()}
+
+
 def oracle_sql() -> dict[str, str]:
     pts = _POINTS_SQL
     regions = _regions_values_sql()
     hav = _haversine_sql("p.lon", "p.lat", "q.qlon", "q.qlat")
     hav_paris = _haversine_sql("lon", "lat", "2.35", "48.85")
+    mk = _lang_markers_sql()
     return {
         "spatial_join_contains": f"""
             SELECT p.event_id, r.region_id
@@ -377,9 +522,81 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 100000.0
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "text_quality": f"""
+            WITH u AS (
+              SELECT doc_id, nc, len(toks) AS nt, list_distinct(toks) AS dt,
+                     nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS np
+              FROM {_TOKS_SQL}),
+            v AS (
+              SELECT doc_id, nc, nt,
+                     CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN nt > 0 THEN
+                       len(list_intersect(dt, ['the','and','of','to','a','is']))
+                         / CAST(len(dt) AS DOUBLE) ELSE 0.0 END AS sr
+              FROM u)
+            SELECT doc_id, nc AS q_chars, nt AS q_tokens,
+                   round(CASE WHEN nt > 0 THEN (nc - (nt - 1))
+                         / CAST(nt AS DOUBLE) ELSE 0.0 END, 6)
+                     AS q_avg_token_len,
+                   round(pr, 6) AS q_punct_ratio,
+                   round(sr, 6) AS q_stopword_ratio,
+                   round(least(nt / 64.0, 1.0) * 0.4
+                         + (1.0 - least(pr * 4.0, 1.0)) * 0.3
+                         + least(sr * 5.0, 1.0) * 0.3, 6) AS q_score
+            FROM v ORDER BY doc_id""",
+        "lang_id": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     len(list_intersect(list_distinct(toks), {mk['en']})) AS h_en,
+                     len(list_intersect(list_distinct(toks), {mk['de']})) AS h_de,
+                     len(list_intersect(list_distinct(toks), {mk['es']})) AS h_es,
+                     len(list_intersect(list_distinct(toks), {mk['fr']})) AS h_fr
+              FROM {_TOKS_SQL}),
+            p AS (
+              SELECT CASE
+                WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+              FROM h)
+            SELECT lang_pred, count(*) AS n FROM p
+            GROUP BY lang_pred ORDER BY lang_pred""",
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id""",
+        "ngram_dedup_pairs": _jaccard_pairs_sql(0.3),
+        "minhash_dedup_pairs": _jaccard_pairs_sql(0.5),
+        "ann_topk": """
+            SELECT query_id, rank, vec_id FROM (
+              SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS rank,
+                     e.vec_id
+              FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+              CROSS JOIN embeddings e)
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.4
+            ORDER BY a, b""",
     }
-    # geohash_agg deliberately has no oracle (geohash not expressible in
-    # ANSI SQL) -> driver records a rows-only check.
+    # Deliberately rows-only (no oracle entry): geohash_agg (geohash not
+    # SQL-expressible), doc_fingerprint + simhash_dedup_pairs (crc32 absent
+    # in DuckDB; exact pytest oracles in tests/test_text_pipeline.py),
+    # image_tile_counts + image_brightness (sha256 phash / Gaussian clusters
+    # / pixel decode not SQL-expressible; pytest-gated per-row invariants).
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Text analysis: tokenization, quality features, language ID, document
+fingerprinting.
+
+Design rule: every operator here is a composition of built-in Catalyst
+expressions (whole-stage-codegen'd, zero Python in the hot path). Language
+ID and quality scoring are deterministic heuristics whose exact SQL
+equivalent runs in the DuckDB oracle; the fingerprint folds per-token CRC32
+hashes (Spark ``crc32`` == zlib.crc32, so the pytest oracle is exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"\s+"
+
+# marker stopwords per language for the n-gram/stopword-hit heuristic;
+# ties break toward the earlier entry. 'und' when no marker hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "es", "y"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+FP_MULT = 31           # polynomial rolling-hash base
+FP_MOD = (1 << 31) - 1  # Mersenne-31 modulus: acc*31 + crc32 < 2^37, so the
+                        # fold never overflows a long under ANSI mode
+
+
+def with_tokens(df: DataFrame, text: str = "text",
+                out: str = "tokens") -> DataFrame:
+    """Whitespace tokens of lower-cased text (the BPE-ish regex split)."""
+    return df.withColumn(out, F.split(F.trim(F.lower(F.col(text))), TOKEN_RE))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation and
+    stopword ratios, plus a composite [0,1] quality score.
+
+    All ratios guard against empty documents (NULL-safe division)."""
+    d = with_tokens(df, text)
+    n_chars = F.length(F.col(text))
+    n_tokens = F.size("tokens")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text),
+                                                  r"[^\w\s]", ""))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct("tokens"),
+        F.array(*[F.lit(s) for s in STOPWORDS])))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0,
+                        n_stop / F.size(F.array_distinct("tokens"))) \
+        .otherwise(0.0)
+    avg_tok = F.when(n_tokens > 0,
+                     (n_chars - (n_tokens - 1)) / n_tokens).otherwise(0.0)
+    score = (F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+             + (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3)
+    return d.select(
+        *df.columns,
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(avg_tok, 6).alias("q_avg_token_len"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stopword_ratio"),
+        F.round(score, 6).alias("q_score"))
+
+
+def lang_id(df: DataFrame, text: str = "text",
+            out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: predicted language = argmax over marker
+    vocabularies of distinct-token hits; ties break in LANG_MARKERS order;
+    zero hits -> 'und'."""
+    d = with_tokens(df, text).withColumn("_toks", F.array_distinct("tokens"))
+    scores = []
+    for rank, (lang, markers) in enumerate(LANG_MARKERS.items()):
+        hits = F.size(F.array_intersect(
+            F.col("_toks"), F.array(*[F.lit(m) for m in markers])))
+        # struct compare: (hits, -rank) lexicographic => max hits, then
+        # earliest language wins the tie
+        scores.append(F.struct(hits.alias("h"),
+                               F.lit(-rank).alias("r"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return d.withColumn(out, pred).drop("tokens", "_toks")
+
+
+def fingerprint(df: DataFrame, text: str = "text",
+                out: str = "fp") -> DataFrame:
+    """Order-sensitive rolling document fingerprint:
+
+        fp = fold(tokens, 0, (acc, t) -> (acc * 31 + crc32(t)) mod (2^31-1))
+
+    Pure JVM expression (``aggregate`` + ``crc32``); exact Python oracle is
+    zlib.crc32 with the same modular fold."""
+    d = with_tokens(df, text)
+    fp = F.aggregate(
+        "tokens",
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MULT + F.crc32(t.cast("binary"))
+                        .cast("long")) % FP_MOD)
+    return d.withColumn(out, fp).drop("tokens")
+
+
+def token_count(text: str = "text") -> Column:
+    return F.size(F.split(F.trim(F.lower(F.col(text))), TOKEN_RE))

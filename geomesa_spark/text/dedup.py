@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (the part that matters at 100 TB):
+- exact: one hash-shuffle on the normalized text key (map-side partial agg).
+- n-gram Jaccard: explode distinct shingles -> self-equi-join on shingle ->
+  per-pair common counts. The only shuffle key is the shingle; a ``max_df``
+  cap drops stop-shingles that would otherwise create quadratic hot keys
+  (the same hot-key reasoning as GeoMesa's shard spreading,
+  /root/reference/geomesa-index-api/.../api/ShardStrategy.scala:42-80).
+- MinHash: signatures are a wide JVM aggregate (k min-hashes over exploded
+  shingles — whole-stage codegen, no Python); LSH banding with r=2 rows per
+  band turns the quadratic candidate space into an equi-join on band values;
+  candidates are then verified with the exact Jaccard, so the output has no
+  false positives and recall 1-(1-s^2)^64 (> 1 - 1e-8 at s = 0.5).
+- SimHash: 64-bit signature from per-token CRC32 sign sums; near-dup pairs
+  by pigeonhole banding (4 x 16-bit chunks finds ALL pairs with hamming
+  distance <= 3 — exact, not probabilistic) + bit_count(xor) verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from geomesa_spark.text.analysis import with_tokens
+
+# Universal-hash modulus for the MinHash permutation family. MUST be small
+# enough that a*h wraps the modulus many times (a, h < p => a*h up to ~2^62,
+# still safe in a long under ANSI mode) — with a larger modulus the product
+# never wraps and every "permutation" is a monotone scaling of the base
+# hash, collapsing all signature rows onto the same argmin shingle.
+MERSENNE31 = (1 << 31) - 1
+
+
+def normalized_text(text: str = "text"):
+    return F.regexp_replace(F.trim(F.lower(F.col(text))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: keeper = min id per group, plus the
+    group size. One shuffle; partial aggregation map-side."""
+    return (df.groupBy(normalized_text(text).alias("_norm"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count("*").alias("dup_count"))
+            .drop("_norm"))
+
+
+def shingles(df: DataFrame, *, n: int = 3, text: str = "text",
+             out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles as an array column (JVM transform)."""
+    d = with_tokens(df, text)
+    idx = F.sequence(F.lit(0), F.size("tokens") - n)
+    sh = F.when(
+        F.size("tokens") >= n,
+        F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", *[F.element_at("tokens", (i + j + 1).cast("int"))
+                       for j in range(n)])))
+    ).otherwise(F.array(F.concat_ws(" ", "tokens")))
+    return d.withColumn(out, sh).drop("tokens")
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text: str = "text",
+                        max_df: int | None = None) -> DataFrame:
+    """Exact all-pairs Jaccard over word n-gram shingle sets.
+
+    jaccard(a,b) = |A∩B| / (|A| + |B| - |A∩B|), pairs with a < b and
+    jaccard >= threshold. ``max_df`` (optional) drops shingles occurring in
+    more than max_df documents before the self-join — a recall-safe
+    optimization only when threshold filtering tolerates it; default None
+    keeps the result exact."""
+    sh = shingles(df, n=n, text=text).select(
+        F.col(id_col).alias("_id"), "shingles",
+        F.size("shingles").alias("_n"))
+    ex = sh.select("_id", "_n", F.explode("shingles").alias("_s"))
+    if max_df is not None:
+        freq = ex.groupBy("_s").agg(F.count("*").alias("_df")) \
+            .where(F.col("_df") <= max_df)
+        ex = ex.join(F.broadcast(freq.select("_s")), "_s")
+    a = ex.select(F.col("_id").alias("a"), F.col("_n").alias("na"), "_s")
+    b = ex.select(F.col("_id").alias("b"), F.col("_n").alias("nb"), "_s")
+    pairs = (a.join(b, "_s")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b", "na", "nb")
+             .agg(F.count("*").alias("common")))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def _minhash_coeffs(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=k)
+    b = rng.integers(0, MERSENNE31, size=k)
+    return a, b
+
+
+def minhash_signatures(df: DataFrame, *, k: int = 128, n: int = 3,
+                       id_col: str = "doc_id", text: str = "text",
+                       seed: int = 7) -> DataFrame:
+    """k-wide MinHash signature per document as k columns ``mh0..mh{k-1}``.
+
+    Base shingle hash = crc32 reduced mod 2^31-1 (JVM); permutation i =
+    (a_i*h + b_i) mod 2^31-1 — a proper universal-hash family (products
+    < 2^62, ANSI-safe). Entirely whole-stage-codegen: explode + wide min
+    aggregate."""
+    a, b = _minhash_coeffs(k, seed)
+    ex = (shingles(df, n=n, text=text)
+          .select(F.col(id_col), F.explode("shingles").alias("_s"))
+          .withColumn("_h", F.crc32(F.col("_s").cast("binary")).cast("long")
+                      % F.lit(MERSENNE31)))
+    aggs = [F.min((F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])))
+                  % F.lit(MERSENNE31)).alias(f"mh{i}") for i in range(k)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
+                  n: int = 3, id_col: str = "doc_id", text: str = "text",
+                  seed: int = 7) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified.
+
+    Bands of r=2 signature rows; docs sharing any band value become
+    candidates (equi-join on (band, v0, v1)); every candidate is verified
+    with the exact shingle-set Jaccard so the output contains no false
+    positives. Output: (a, b, jaccard) with a < b, jaccard >= threshold."""
+    r = 2
+    bands = k // r
+    sig = minhash_signatures(df, k=k, n=n, id_col=id_col, text=text,
+                             seed=seed)
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.col(f"mh{r * i}").alias("v0"),
+                 F.col(f"mh{r * i + 1}").alias("v1"))
+        for i in range(bands)])
+    ex = sig.select(F.col(id_col).alias("_id"),
+                    F.explode(band_arr).alias("bd"))
+    left = ex.select(F.col("_id").alias("a"), "bd")
+    right = ex.select(F.col("_id").alias("b"), "bd")
+    cand = (left.join(right, "bd")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    sh = shingles(df, n=n, text=text).select(
+        F.col(id_col).alias("_id"), "shingles")
+    pa = sh.select(F.col("_id").alias("a"), F.col("shingles").alias("_sa"))
+    pb = sh.select(F.col("_id").alias("b"), F.col("shingles").alias("_sb"))
+    joined = cand.join(pa, "a").join(pb, "b")
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = common / (F.size("_sa") + F.size("_sb") - common)
+    return (joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
+            out: str = "simhash") -> DataFrame:
+    """64-bit SimHash: bit b is set iff sum over tokens of
+    (+1 if crc32(token) has bit b else -1) > 0. Wide JVM aggregate."""
+    ex = (with_tokens(df, text)
+          .select(F.col(id_col), F.explode("tokens").alias("_t"))
+          .withColumn("_h", F.crc32(F.col("_t").cast("binary")).cast("long")))
+    # crc32 is 32-bit; widen to 64 by hashing token twice with a salt
+    ex = ex.withColumn(
+        "_h2", F.crc32(F.concat(F.lit("s:"), F.col("_t")).cast("binary"))
+        .cast("long"))
+    sums = [F.sum(F.when(((F.col("_h") if b < 32 else F.col("_h2"))
+                          .bitwiseAND(F.lit(1 << (b % 32)))) != 0, 1)
+                  .otherwise(-1)).alias(f"s{b}") for b in range(64)]
+    agg = ex.groupBy(id_col).agg(*sums)
+    sig = None
+    for b in range(64):
+        bitval = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"s{b}") > 0, bitval).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(id_col, sig.cast("long").alias(out))
+
+
+def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
+                  id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """All pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: with 4 16-bit chunks, any pair within hamming 3
+    shares at least one chunk, so the chunk equi-join finds every such pair
+    (exact); bit_count(xor) filters the verified distance."""
+    assert max_hamming <= 3, "4-chunk pigeonhole is exact only for <= 3"
+    sig = simhash(df, id_col=id_col, text=text)
+    chunk = F.array(*[
+        F.struct(F.lit(c).alias("c"),
+                 F.shiftrightunsigned("simhash", 16 * c)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("v"))
+        for c in range(4)])
+    ex = sig.select(F.col(id_col).alias("_id"), "simhash",
+                    F.explode(chunk).alias("ck"))
+    left = ex.select(F.col("_id").alias("a"),
+                     F.col("simhash").alias("_ha"), "ck")
+    right = ex.select(F.col("_id").alias("b"),
+                      F.col("simhash").alias("_hb"), "ck")
+    cand = (left.join(right, "ck").where(F.col("a") < F.col("b"))
+            .select("a", "b", "_ha", "_hb").distinct())
+    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (cand.select("a", "b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -1,0 +1,257 @@
+"""Training-data pipeline operators vs brute-force Python/numpy oracles
+(the reference's cartesian-oracle test pattern, SparkSQLDataTest.scala:
+344-351, applied to text dedup + similarity)."""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+MASK = (1 << 64) - 1
+
+
+def _signed64(v: int) -> int:
+    v &= MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    planted = spark.createDataFrame(
+        [(9001, "alpha beta gamma delta epsilon zeta eta theta", "en", "t", 1),
+         (9002, "alpha beta gamma delta epsilon zeta eta theta", "en", "t", 1),
+         (9003, "alpha beta gamma delta epsilon zeta eta IOTA", "en", "t", 1),
+         (9004, "totally different words entirely unrelated content here now",
+          "en", "t", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    return base.unionByName(planted).cache()
+
+
+@pytest.fixture(scope="module")
+def local_docs(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def _toks(t):
+    return re.split(r"\s+", t.strip().lower())
+
+
+def _shingles(t, n=3):
+    toks = _toks(t)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+class TestAnalysis:
+    def test_quality_features_match_python(self, docs, local_docs):
+        from geomesa_spark.text.analysis import STOPWORDS, quality_features
+        rows = {r["doc_id"]: r for r in quality_features(docs).collect()}
+        for did in list(local_docs)[:10]:
+            text = local_docs[did]
+            toks = _toks(text)
+            got = rows[did]
+            assert got["q_chars"] == len(text)
+            assert got["q_tokens"] == len(toks)
+            n_punct = sum(1 for c in text if not (c.isalnum() or c.isspace()
+                                                  or c == "_"))
+            assert got["q_punct_ratio"] == pytest.approx(
+                n_punct / len(text), abs=1e-6)
+            distinct = set(toks)
+            assert got["q_stopword_ratio"] == pytest.approx(
+                len(distinct & set(STOPWORDS)) / len(distinct), abs=1e-6)
+
+    def test_lang_id_deterministic_heuristic(self, spark):
+        from geomesa_spark.text.analysis import lang_id
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog is a pet"),
+             (2, "der hund ist nicht die katze und"),
+             (3, "el perro y la casa es los las"),
+             (4, "xyzzy plugh quux"),
+             (5, "the der")],  # tie: en (1 hit) vs de (1 hit) -> en first
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["lang_pred"]
+               for r in lang_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "es", 4: "und", 5: "en"}
+
+    def test_fingerprint_matches_crc_fold(self, docs, local_docs):
+        from geomesa_spark.text.analysis import FP_MOD, FP_MULT, fingerprint
+        rows = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+        for did in list(local_docs)[:10]:
+            acc = 0
+            for t in _toks(local_docs[did]):
+                acc = (acc * FP_MULT + zlib.crc32(t.encode())) % FP_MOD
+            assert rows[did] == acc
+
+    def test_fingerprint_order_sensitive(self, spark):
+        from geomesa_spark.text.analysis import fingerprint
+        df = spark.createDataFrame([(1, "a b c"), (2, "c b a")],
+                                   "doc_id long, text string")
+        fps = [r["fp"] for r in fingerprint(df).collect()]
+        assert fps[0] != fps[1]
+
+
+class TestDedup:
+    def test_exact_dedup(self, docs, local_docs):
+        from geomesa_spark.text.dedup import exact_dedup
+        got = {(r["doc_id"], r["dup_count"])
+               for r in exact_dedup(docs).collect()}
+        norm = {}
+        for did, text in local_docs.items():
+            norm.setdefault(re.sub(r"\s+", " ", text.strip().lower()),
+                            []).append(did)
+        want = {(min(v), len(v)) for v in norm.values()}
+        assert got == want
+        assert (9001, 2) in got  # planted exact dup collapsed
+
+    def test_ngram_jaccard_vs_bruteforce(self, docs, local_docs):
+        from geomesa_spark.text.dedup import ngram_jaccard_pairs
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        want = {}
+        items = list(local_docs.items())
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (da, ta), (db, tb) = items[i], items[j]
+                a, b = (da, db) if da < db else (db, da)
+                sa, sb = _shingles(ta), _shingles(tb)
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.3:
+                    want[(a, b)] = jac
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-6)
+        assert (9001, 9002) in got and got[(9001, 9002)] == 1.0
+
+    def test_minhash_pairs_match_bruteforce(self, docs, local_docs):
+        from geomesa_spark.text.dedup import minhash_pairs
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in minhash_pairs(docs, threshold=0.5).collect()}
+        want = {}
+        items = list(local_docs.items())
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (da, ta), (db, tb) = items[i], items[j]
+                a, b = (da, db) if da < db else (db, da)
+                sa, sb = _shingles(ta), _shingles(tb)
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.5:
+                    want[(a, b)] = jac
+        # verified candidates: no false positives; r=2/b=64 recall ~ 1
+        assert set(got) == set(want)
+        assert (9001, 9002) in got
+
+    def test_simhash_matches_python(self, spark):
+        from geomesa_spark.text.dedup import simhash
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+             (3, "unrelated stuff completely")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert got[1] == got[2]
+
+        def py_simhash(text):
+            sums = [0] * 64
+            for t in _toks(text):
+                h1 = zlib.crc32(t.encode())
+                h2 = zlib.crc32(b"s:" + t.encode())
+                for b in range(64):
+                    h = h1 if b < 32 else h2
+                    sums[b] += 1 if (h >> (b % 32)) & 1 else -1
+            v = sum((1 << b) for b in range(64) if sums[b] > 0)
+            return _signed64(v)
+        assert got[1] == py_simhash("alpha beta gamma")
+        assert got[3] == py_simhash("unrelated stuff completely")
+
+    def test_simhash_pairs_vs_bruteforce(self, docs, local_docs):
+        from geomesa_spark.text.dedup import simhash, simhash_pairs
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash(docs).collect()}
+        got = {(r["a"], r["b"], r["hamming"])
+               for r in simhash_pairs(docs, max_hamming=3).collect()}
+        want = set()
+        ids = sorted(sigs)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin((sigs[ids[i]] ^ sigs[ids[j]]) & MASK).count("1")
+                if d <= 3:
+                    want.add((ids[i], ids[j], d))
+        assert got == want
+        assert (9001, 9002, 0) in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+    @pytest.fixture(scope="class")
+    def local_emb(self, emb):
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return ids, mat
+
+    def test_cosine_topk_matches_numpy(self, spark, emb, local_emb):
+        from geomesa_spark.ml.similarity import cosine_topk
+        ids, mat = local_emb
+        queries = emb.where(F.col("vec_id") % 100 == 0) \
+            .select(F.col("vec_id").cast("string").alias("query_id"),
+                    "embedding")
+        got = [(r["query_id"], r["rank"], r["vec_id"])
+               for r in cosine_topk(emb.repartition(5), queries, 10)
+               .orderBy("query_id", "rank").collect()]
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        want = []
+        for qid in sorted(ids[ids % 100 == 0], key=lambda v: str(v)):
+            qv = nm[ids == qid][0]
+            sims = nm @ qv
+            order = np.lexsort((ids, -sims))[:10]
+            want += [(str(qid), r + 1, int(ids[o]))
+                     for r, o in enumerate(order)]
+        assert got == want
+
+    def test_lsh_topk_recall(self, spark, emb, local_emb):
+        from geomesa_spark.ml.similarity import cosine_topk, lsh_topk
+        queries = emb.where(F.col("vec_id") % 100 == 0) \
+            .select(F.col("vec_id").cast("string").alias("query_id"),
+                    "embedding")
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk(emb, queries, 10).collect()}
+        approx = {(r["query_id"], r["vec_id"])
+                  for r in lsh_topk(emb, queries, 10, n_planes=6,
+                                    n_tables=8, multiprobe=1).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5  # multi-table hyperplane LSH on random vectors
+        # determinism
+        approx2 = {(r["query_id"], r["vec_id"])
+                   for r in lsh_topk(emb, queries, 10, n_planes=6,
+                                     n_tables=8, multiprobe=1).collect()}
+        assert approx == approx2
+
+    def test_near_dup_exact_vs_numpy(self, spark, emb, local_emb):
+        from geomesa_spark.ml.similarity import embedding_near_dup_pairs
+        ids, mat = local_emb
+        got = {(r["a"], r["b"]) for r in
+               embedding_near_dup_pairs(emb, threshold=0.5).collect()}
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ nm.T
+        ii, jj = np.nonzero(sims >= 0.5)
+        want = {(int(ids[i]), int(ids[j]))
+                for i, j in zip(ii, jj) if ids[i] < ids[j]}
+        assert got == want
+
+    def test_near_dup_lsh_subset_of_exact(self, spark, emb, local_emb):
+        from geomesa_spark.ml.similarity import embedding_near_dup_pairs
+        ex = {(r["a"], r["b"]) for r in
+              embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+        lsh = {(r["a"], r["b"]) for r in
+               embedding_near_dup_pairs(emb, threshold=0.4,
+                                        exact=False).collect()}
+        assert lsh <= ex
