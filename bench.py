@@ -30,6 +30,7 @@ def build_spark(cpus: int):
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.driver.memory", "16g")
             .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
             .getOrCreate())
 

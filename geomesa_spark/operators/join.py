@@ -207,8 +207,9 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     """
     if predicate not in _POINT_PREDICATES:
         raise ValueError(f"unsupported point-join predicate {predicate}")
-    pts = points.withColumn("__cell__", udf_point_cell(F.col(point_lon),
-                                                       F.col(point_lat)))
+    from geomesa_spark.cells.native import cell_expr
+    pts = points.withColumn("__cell__",
+                            cell_expr(point_lon, point_lat, res))
     reg = regions.withColumn("__cells__", udf_cover_cells(res)(F.col(region_geom))) \
                  .withColumn("__cell__", F.explode("__cells__")) \
                  .drop("__cells__")

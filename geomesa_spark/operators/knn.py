@@ -135,7 +135,5 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
 
 
 def _cell_expr(lon: str, lat: str, res: int):
-    from geomesa_spark.operators.join import udf_point_cell
-    if res != PARTITION_RES:
-        raise ValueError("ad-hoc cell expr supports PARTITION_RES only")
-    return udf_point_cell(F.col(lon), F.col(lat))
+    from geomesa_spark.cells.native import cell_expr
+    return cell_expr(lon, lat, res)

@@ -42,8 +42,10 @@ def udf_cell(res: int):
 
 def assign_tiles(df: DataFrame, *, lon: str = "lon", lat: str = "lat",
                  res: int = PARTITION_RES, tile_col: str = "tile") -> DataFrame:
-    """Point path: one tile per row (Z2Scheme.getPartitionName semantics)."""
-    return df.withColumn(tile_col, udf_cell(res)(F.col(lon), F.col(lat)))
+    """Point path: one tile per row (Z2Scheme.getPartitionName semantics).
+    Native Catalyst bit-ops — stays inside whole-stage codegen."""
+    from geomesa_spark.cells.native import cell_expr
+    return df.withColumn(tile_col, cell_expr(lon, lat, res))
 
 
 def assign_tiles_footprint(df: DataFrame, *, wkb_col: str = "geom",

@@ -71,7 +71,7 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
     job re-run with the same arguments completes exactly once per row.
     """
     from geomesa_spark.cells import PARTITION_RES
-    from geomesa_spark.operators.tiles import udf_cell
+    from geomesa_spark.cells.native import cell_expr
 
     res = res if res is not None else PARTITION_RES
     n_chunks = (n + chunk_rows - 1) // chunk_rows
@@ -85,7 +85,11 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
             2, spark.sparkContext.defaultParallelism)
         chunk = _images_range(spark, lo, hi, parts)
         chunk = chunk.withColumn("cell_prefix",
-                                 udf_cell(res)(F.col("lon"), F.col("lat")))
+                                 cell_expr("lon", "lat", res))
+        # co-locate each cell's rows in one writer task: one file per
+        # (chunk, cell) instead of partitions x cells tiny files — the
+        # file-compaction discipline an Iceberg writer applies
+        chunk = chunk.repartition("cell_prefix")
         write_partitioned(chunk, path, mode="append")
         # lineage row written last = commit marker for the chunk
         lin = (read_chunk_lineage(spark, path, chunk, c))
