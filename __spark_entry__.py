@@ -246,6 +246,50 @@ def q_join_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
 
 
+PROX_QUERIES = [("q0", 12.3, 45.6), ("q1", -122.4, 37.8),
+                ("q2", 179.9, 0.0)]
+PROX_RADIUS = 800_000.0
+TUBE_TRACK = [("2024-01-03 00:00:00", 10.0, 20.0),
+              ("2024-01-03 06:00:00", 15.0, 22.0),
+              ("2024-01-03 12:00:00", 20.0, 24.0)]
+TUBE_RADIUS, TUBE_DT = 1_000_000.0, 21_600.0
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProximitySearchProcess: events within 800 km of each query point."""
+    from geomesa_spark.operators.proximity import proximity_join
+    pts = _events_points(spark, sf_dir).select("event_id", "lon", "lat")
+    out = proximity_join(pts, PROX_QUERIES, PROX_RADIUS)
+    return out.select("query_id", "event_id",
+                      F.round("dist_m", 3).alias("dist_m"))
+
+
+def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TubeSelectProcess: events within 1000 km AND 6 h of a track."""
+    from geomesa_spark.operators.proximity import tube_select
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    pts = ev.join(_events_points(spark, sf_dir).select("event_id", "lon",
+                                                       "lat"), "event_id")
+    out = tube_select(pts, TUBE_TRACK, radius_m=TUBE_RADIUS,
+                      dt_seconds=TUBE_DT)
+    return out.select("event_id", F.round("dist_m", 3).alias("dist_m"))
+
+
+def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3Histogram: counts keyed by (epoch week, 4-bit/dim z3 cell) — the
+    spatio-temporal heatmap, all native Catalyst bit math."""
+    from geomesa_spark.cells.z3 import z3_expr
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    pts = ev.join(_events_points(spark, sf_dir).select("event_id", "lon",
+                                                       "lat"), "event_id")
+    k = z3_expr("lon", "lat", "ts", prefix_res=4)
+    return (pts.withColumn("k", k)
+            .groupBy(F.col("k.epoch").alias("epoch"),
+                     F.col("k.z3").alias("z3"))
+            .agg(F.count("*").alias("n")))
+
+
 # ---------------------------------------------- training-data pipeline ops
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +391,37 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("brightness"), 3).alias("avg_brightness")))
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHull UDAF: per-user hull of event positions as WKT
+    (rows-only: no SQL hull in DuckDB; geometric invariants pytest-gated
+    in tests/test_export.py)."""
+    from geomesa_spark.operators.export import convex_hull_agg
+    pts = _events_points(spark, sf_dir)
+    return convex_hull_agg(pts.join(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id"), "event_id"),
+        group_cols=["user_id"])
+
+
+def q_bin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinAggregatingScan: 16-byte BIN viz records per event (rows-only;
+    byte layout pytest-gated)."""
+    from geomesa_spark.operators.export import to_bin_records
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "ts", "user_id")
+    pts = ev.join(_events_points(spark, sf_dir)
+                  .select("event_id", "lon", "lat"), "event_id")
+    out = to_bin_records(pts, track="user_id")
+    return out.select("track_hash", F.length("bin").alias("nbytes"))
+
+
+def q_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON feature export (rows-only; RFC 7946 shape pytest-gated)."""
+    from geomesa_spark.operators.export import to_geojson_features
+    pts = _events_points(spark, sf_dir).select("event_id", "lon", "lat")
+    return to_geojson_features(pts, id_col="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_contains": q_spatial_join_contains,
@@ -364,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "tpch_pricing_summary": q_tpch_pricing_summary,
         "join_pushdown": q_join_pushdown,
+        "proximity": q_proximity,
+        "tube_select": q_tube_select,
+        "z3_heatmap": q_z3_heatmap,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -375,6 +453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_brightness": q_image_brightness,
+        "convex_hull": q_convex_hull,
+        "bin_export": q_bin_export,
+        "geojson_export": q_geojson_export,
     }
 
 
@@ -522,6 +603,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 100000.0
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "proximity": f"""
+            SELECT q.query_id, p.event_id, round({hav}, 3) AS dist_m
+            FROM {pts} p CROSS JOIN (VALUES {", ".join(
+                f"('{q}', {x!r}, {y!r})" for (q, x, y) in PROX_QUERIES)})
+                 AS q(query_id, qlon, qlat)
+            WHERE {hav} <= {PROX_RADIUS!r}
+            ORDER BY query_id, event_id""",
+        "tube_select": f"""
+            WITH p AS (SELECT e.event_id, e.ts, d.lon, d.lat
+                       FROM events e JOIN {pts} d ON e.event_id = d.event_id)
+            SELECT p.event_id, round(min({_haversine_sql(
+                "p.lon", "p.lat", "t.qlon", "t.qlat")}), 3) AS dist_m
+            FROM p CROSS JOIN (VALUES {", ".join(
+                f"(TIMESTAMP '{t}', {x!r}, {y!r})"
+                for (t, x, y) in TUBE_TRACK)}) AS t(qts, qlon, qlat)
+            WHERE {_haversine_sql("p.lon", "p.lat", "t.qlon", "t.qlat")}
+                    <= {TUBE_RADIUS!r}
+              AND abs(epoch(p.ts) - epoch(t.qts)) <= {TUBE_DT!r}
+            GROUP BY p.event_id ORDER BY p.event_id""",
+        "z3_heatmap": f"""
+            WITH p AS (SELECT e.ts, d.lon, d.lat
+                       FROM events e JOIN {pts} d ON e.event_id = d.event_id),
+            b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, lon, lat
+                  FROM p),
+            c AS (SELECT CAST(floor(sec / 604800) AS BIGINT) AS epoch,
+                    least(CAST(floor((lon + 180.0) / 360.0 * 16) AS BIGINT),
+                          15) AS xb,
+                    least(CAST(floor((lat + 90.0) / 180.0 * 16) AS BIGINT),
+                          15) AS yb,
+                    least(CAST(floor((sec - CAST(floor(sec / 604800) AS
+                          BIGINT) * 604800) / 604800.0 * 16) AS BIGINT),
+                          15) AS tb
+                  FROM b)
+            SELECT epoch, ({" | ".join(
+                f"(((xb >> {i}) & 1) << {3 * i}) | "
+                f"(((yb >> {i}) & 1) << {3 * i + 1}) | "
+                f"(((tb >> {i}) & 1) << {3 * i + 2})" for i in range(4))})
+                   AS z3, count(*) AS n
+            FROM c GROUP BY 1, 2 ORDER BY epoch, z3""",
         "text_quality": f"""
             WITH u AS (
               SELECT doc_id, nc, len(toks) AS nt, list_distinct(toks) AS dt,

@@ -1,0 +1,114 @@
+"""Proximity search (within-distance join) and tube select
+(spatio-temporal corridor search).
+
+Reference semantics:
+- ProximitySearchProcess: features within a buffer distance (meters) of
+  any input feature (/root/reference/geomesa-process/geomesa-process-
+  vector/src/main/scala/org/locationtech/geomesa/process/query/
+  ProximitySearchProcess.scala:29).
+- TubeSelectProcess: features inside a distance tube around a track,
+  correlated in BOTH space and time (/root/reference/geomesa-process/
+  geomesa-process-vector/src/main/scala/org/locationtech/geomesa/process/
+  tube/TubeSelectProcess.scala:37-133, TubeBuilder.scala).
+
+Spark shape: query geometries expand to cell windows (cover may
+over-select, never under-select), candidates come from an equi-join on
+the cell id (broadcast for small query sets), and the exact geodesic
+distance (+ time delta for tubes) refines — the same cover -> prune ->
+refine contract as the rest of the engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from geomesa_spark.cells import PARTITION_RES, bbox_cover
+from geomesa_spark.cells.native import cell_expr
+from geomesa_spark.operators.knn import udf_haversine
+
+EARTH_R = 6371008.7714
+DEG_M = math.pi * EARTH_R / 180.0  # meters per degree of latitude
+
+
+def _window_cells(qlon: float, qlat: float, radius_m: float,
+                  res: int) -> list[int]:
+    """Cover of the radius window, wrapping across the antimeridian
+    (Envelope.toWorld semantics, KNearestNeighborSearchProcess.scala:
+    524-544: windows crossing ±180 split into two covers)."""
+    dlat = radius_m / DEG_M
+    coslat = max(math.cos(math.radians(qlat)), 1e-9)
+    dlon = min(radius_m / (DEG_M * coslat), 360.0)
+    y0, y1 = max(qlat - dlat, -90.0), min(qlat + dlat, 90.0)
+    spans = []
+    x0, x1 = qlon - dlon, qlon + dlon
+    if x1 - x0 >= 360.0:
+        spans.append((-180.0, 180.0))
+    else:
+        if x0 < -180.0:
+            spans.append((x0 + 360.0, 180.0))
+            x0 = -180.0
+        if x1 > 180.0:
+            spans.append((-180.0, x1 - 360.0))
+            x1 = 180.0
+        spans.append((x0, x1))
+    cells: set[int] = set()
+    for (a, b) in spans:
+        cells.update(int(c) for c in bbox_cover(a, y0, b, y1, res))
+    return sorted(cells)
+
+
+def proximity_join(points: DataFrame,
+                   queries: list[tuple[str, float, float]],
+                   radius_m: float, *, lon: str = "lon", lat: str = "lat",
+                   res: int = PARTITION_RES) -> DataFrame:
+    """Rows of ``points`` within ``radius_m`` meters (haversine) of each
+    query point. Output: (query_id, <point columns>, dist_m), deduped per
+    (query, point)."""
+    spark = points.sparkSession
+    cand_rows = [(qid, qlon, qlat, c)
+                 for (qid, qlon, qlat) in queries
+                 for c in _window_cells(qlon, qlat, radius_m, res)]
+    cand = spark.createDataFrame(
+        cand_rows, "query_id string, qlon double, qlat double, __cell__ long")
+    pts = points.withColumn("__cell__", cell_expr(lon, lat, res))
+    joined = pts.join(F.broadcast(cand), "__cell__").drop("__cell__")
+    dist = udf_haversine(F.col(lon), F.col(lat),
+                         F.col("qlon"), F.col("qlat"))
+    return (joined.withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= radius_m)
+            .drop("qlon", "qlat"))
+
+
+def tube_select(events: DataFrame,
+                track: list[tuple[str, float, float]],
+                *, radius_m: float, dt_seconds: float,
+                lon: str = "lon", lat: str = "lat", ts: str = "ts",
+                res: int = PARTITION_RES) -> DataFrame:
+    """Events within ``radius_m`` meters AND ``dt_seconds`` of any track
+    vertex (ts ISO string, lon, lat) — the tube as a sequence of
+    space-time balls (TubeBuilder's buffered track points). Output: one
+    row per matching event (deduped across overlapping vertices) with the
+    nearest-vertex distance.
+    """
+    spark = events.sparkSession
+    cand_rows = [(i, t, qlon, qlat, c)
+                 for i, (t, qlon, qlat) in enumerate(track)
+                 for c in _window_cells(qlon, qlat, radius_m, res)]
+    cand = spark.createDataFrame(
+        cand_rows,
+        "vertex int, qts string, qlon double, qlat double, __cell__ long") \
+        .withColumn("qts", F.to_timestamp("qts"))
+    ev = events.withColumn("__cell__", cell_expr(lon, lat, res))
+    joined = ev.join(F.broadcast(cand), "__cell__").drop("__cell__")
+    dist = udf_haversine(F.col(lon), F.col(lat),
+                         F.col("qlon"), F.col("qlat"))
+    # NTZ timestamps cannot cast straight to double; route via timestamp
+    dt = F.abs(F.col(ts).cast("timestamp").cast("double")
+               - F.col("qts").cast("timestamp").cast("double"))
+    hits = (joined.withColumn("dist_m", dist)
+            .where((F.col("dist_m") <= radius_m) & (dt <= dt_seconds)))
+    keys = [c for c in events.columns]
+    return (hits.groupBy(*keys)
+            .agg(F.min("dist_m").alias("dist_m")))

