@@ -391,6 +391,36 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("brightness"), 3).alias("avg_brightness")))
 
 
+def q_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DescriptiveStats stat: mean/var/stddev/skew/kurtosis + correlation
+    (Stat.scala:313 semantics via built-in aggregates)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+        F.round(F.stddev_samp("value"), 6).alias("std_v"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 6)
+        .alias("corr_vu"))
+
+
+def q_region_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon spatial join (st_intersects) of the region boxes
+    against themselves — the general geometry-pair join path with
+    cover-cell equi-join + exact refine + (a,b) dedupe."""
+    from geomesa_spark.operators.join import spatial_join_pairs
+    reg = _regions_df(spark)
+    left = reg.select(F.col("region_id").alias("a"),
+                      F.col("geom").alias("geom_a"))
+    right = reg.select(F.col("region_id").alias("b"),
+                       F.col("geom").alias("geom_b"))
+    out = spatial_join_pairs(left, right, predicate="st_intersects",
+                             left_geom="geom_a", right_geom="geom_b",
+                             left_id="a", right_id="b")
+    return (out.where(F.col("a").cast("int") < F.col("b").cast("int"))
+            .select("a", "b"))
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConvexHull UDAF: per-user hull of event positions as WKT
     (rows-only: no SQL hull in DuckDB; geometric invariants pytest-gated
@@ -453,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_brightness": q_image_brightness,
+        "descriptive_stats": q_descriptive_stats,
+        "region_self_join": q_region_self_join,
         "convex_hull": q_convex_hull,
         "bin_export": q_bin_export,
         "geojson_export": q_geojson_export,
@@ -603,6 +635,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 100000.0
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "descriptive_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 6) AS mean_v,
+                   round(var_samp(value), 6) AS var_v,
+                   round(stddev_samp(value), 6) AS std_v,
+                   round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "region_self_join": f"""
+            SELECT a.region_id AS a, b.region_id AS b
+            FROM {regions.replace("AS r(", "AS a(")}
+            JOIN {regions.replace("AS r(", "AS b(")}
+              ON CAST(a.region_id AS INT) < CAST(b.region_id AS INT)
+             AND a.x0 <= b.x1 AND b.x0 <= a.x1
+             AND a.y0 <= b.y1 AND b.y0 <= a.y1
+            ORDER BY a, b""",
         "proximity": f"""
             SELECT q.query_id, p.event_id, round({hav}, 3) AS dist_m
             FROM {pts} p CROSS JOIN (VALUES {", ".join(

