@@ -391,6 +391,31 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("brightness"), 3).alias("avg_brightness")))
 
 
+def q_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch stats (rows-only: sketch encodings are engine-specific):
+    HLL cardinality (MinMax stat's HyperLogLog), count-min-sketch bytes
+    (Frequency stat), per-type approx quantiles (Histogram stat)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.length(F.count_min_sketch("user_id", F.lit(0.01), F.lit(0.95),
+                                    F.lit(42))).alias("cms_bytes"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)),
+                            10_000).alias("quantiles"))
+
+
+def q_density_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DensityScan polygon renderer: rasterize the region boxes onto a
+    72x36 world grid (RenderingGrid semantics: snapped scanline fill),
+    summing weight per pixel."""
+    from geomesa_spark.operators.density import density_footprint
+    out = density_footprint(_regions_df(spark),
+                            envelope=(-180.0, -90.0, 180.0, 90.0),
+                            width=72, height=36)
+    return out.select("col", "row", "x", "y",
+                      F.col("weight").cast("long").alias("weight"))
+
+
 def q_descriptive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DescriptiveStats stat: mean/var/stddev/skew/kurtosis + correlation
     (Stat.scala:313 semantics via built-in aggregates)."""
@@ -483,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_brightness": q_image_brightness,
+        "stats_sketches": q_stats_sketches,
+        "density_footprint": q_density_footprint,
         "descriptive_stats": q_descriptive_stats,
         "region_self_join": q_region_self_join,
         "convex_hull": q_convex_hull,
@@ -635,6 +662,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 100000.0
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "density_footprint": f"""
+            WITH px AS (
+              SELECT least(greatest(CAST(floor((CAST(x0 AS DOUBLE) + 180.0) / 5.0) AS
+                       BIGINT), 0), 71) AS i0,
+                     least(greatest(CAST(floor((CAST(x1 AS DOUBLE) + 180.0) / 5.0) AS
+                       BIGINT), 0), 71) AS i1,
+                     least(greatest(CAST(floor((CAST(y0 AS DOUBLE) + 90.0) / 5.0) AS
+                       BIGINT), 0), 35) AS j0,
+                     least(greatest(CAST(floor((CAST(y1 AS DOUBLE) + 90.0) / 5.0) AS
+                       BIGINT), 0), 35) AS j1
+              FROM {regions}),
+            cells AS (
+              SELECT CAST(unnest(generate_series(i0, i1)) AS INT) AS col,
+                     CAST(j.j AS INT) AS row
+              FROM px, unnest(generate_series(px.j0, px.j1)) AS j(j))
+            SELECT col, row,
+                   -180.0 + (col + 0.5) * 5.0 AS x,
+                   -90.0 + (row + 0.5) * 5.0 AS y,
+                   count(*) AS weight
+            FROM cells GROUP BY col, row ORDER BY col, row""",
         "descriptive_stats": """
             SELECT event_type, count(*) AS n,
                    round(avg(value), 6) AS mean_v,

@@ -1,0 +1,118 @@
+"""Ingest converters: raw delimited/JSON/fixed-width files -> a declared
+feature schema.
+
+Reference semantics (geomesa-convert, /root/reference/geomesa-convert/*;
+provider wiring ConverterSpatialRDDProvider.scala:44-81): data never
+infers its schema — a converter definition declares the target
+SimpleFeatureType and per-field expressions mapping raw columns onto it,
+with a validation mode deciding what happens to non-conforming records
+(skip vs raise, the reference's parse-mode option).
+
+Spark mapping: converter definition -> a plain DataFrame program
+(``spark.read.csv/json/text`` + Catalyst expressions). Field transforms
+are SQL expression strings, so everything stays JVM-side; error handling
+uses the try_* expression family so bad rows become NULLs that the
+validation mode then routes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Field:
+    """One target attribute: name, Spark SQL type, and the transform
+    expression over the raw columns (raw csv columns are _c0.._cN)."""
+    name: str
+    dtype: str
+    expr: str
+
+
+@dataclass
+class Converter:
+    """Declared mapping from a raw source onto a feature schema.
+
+    ``mode``: 'skip' drops records whose non-nullable fields fail to
+    convert (parse-mode skip); 'raise' fails the job on the first bad
+    record (parse-mode raise-errors).
+    """
+    fields: list[Field]
+    id_field: str | None = None
+    required: list[str] = field(default_factory=list)
+    mode: str = "skip"
+
+    # ----------------------------------------------------------- sources
+
+    def from_csv(self, spark: SparkSession, path_or_df, *,
+                 delimiter: str = ",", header: bool = False) -> DataFrame:
+        raw = (path_or_df if isinstance(path_or_df, DataFrame)
+               else spark.read.option("delimiter", delimiter)
+               .option("header", str(header).lower()).csv(path_or_df))
+        return self._apply(raw)
+
+    def from_json(self, spark: SparkSession, path_or_df,
+                  schema: str | None = None) -> DataFrame:
+        if isinstance(path_or_df, DataFrame):
+            raw = path_or_df
+        else:
+            r = spark.read
+            if schema:
+                r = r.schema(schema)
+            raw = r.json(path_or_df)
+        return self._apply(raw)
+
+    def from_fixed_width(self, spark: SparkSession, path_or_df,
+                         widths: list[tuple[str, int, int]]) -> DataFrame:
+        """widths = [(raw_name, start_1_based, length), ...] over a text
+        file; substring slots become the raw columns."""
+        raw = (path_or_df if isinstance(path_or_df, DataFrame)
+               else spark.read.text(path_or_df))
+        cols = [F.trim(F.substring("value", s, ln)).alias(n)
+                for (n, s, ln) in widths]
+        return self._apply(raw.select(*cols))
+
+    # ------------------------------------------------------------- apply
+
+    def _apply(self, raw: DataFrame) -> DataFrame:
+        out_cols: list[Column] = []
+        for f in self.fields:
+            c = F.expr(f.expr).cast(f.dtype).alias(f.name)
+            out_cols.append(c)
+        out = raw.select(*out_cols)
+        required = self.required or [f.name for f in self.fields]
+        ok = None
+        for name in required:
+            cond = F.col(name).isNotNull()
+            ok = cond if ok is None else (ok & cond)
+        if self.mode == "skip":
+            return out.where(ok) if ok is not None else out
+        if self.mode == "raise":
+            # assert_true returns NULL when the predicate holds and raises
+            # otherwise; phrased as a filter so column pruning cannot
+            # optimize the assertion away
+            return out.where(F.assert_true(
+                ok if ok is not None else F.lit(True),
+                F.lit("converter: record failed validation")).isNull())
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+
+def image_manifest_converter() -> Converter:
+    """Example converter for a CSV manifest of the image fixture shape:
+    image_id,lon,lat,w,h,fmt,caption — the ingest-side declared mapping
+    (analog of the reference's SFT spec strings)."""
+    return Converter(
+        fields=[
+            Field("image_id", "string", "_c0"),
+            Field("lon", "double", "try_cast(_c1 as double)"),
+            Field("lat", "double", "try_cast(_c2 as double)"),
+            Field("w", "int", "try_cast(_c3 as int)"),
+            Field("h", "int", "try_cast(_c4 as int)"),
+            Field("fmt", "string", "_c5"),
+            Field("caption", "string", "_c6"),
+        ],
+        id_field="image_id",
+        required=["image_id", "lon", "lat"],
+    )

@@ -94,3 +94,13 @@ class TestConvexHull:
         all_pts = {(round(r["lon"], 9), round(r["lat"], 9)) for r in rows}
         for vx, vy in ring[:-1]:
             assert (round(vx, 9), round(vy, 9)) in all_pts
+
+
+class TestArrowExport:
+    def test_to_arrow_roundtrip(self, spark, pts):
+        """ArrowScan analog: Spark is Arrow-native (df.toArrow)."""
+        tbl = pts.select("event_id", "lon", "lat").limit(50).toArrow()
+        assert tbl.num_rows == 50
+        assert set(tbl.column_names) == {"event_id", "lon", "lat"}
+        import pyarrow as pa
+        assert isinstance(tbl, pa.Table)

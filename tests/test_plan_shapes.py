@@ -1,0 +1,99 @@
+"""Plan-shape assertions (the reference's pushdown test pattern,
+SparkSQLDataTest.scala:161-243): prove the physical plans are the ones a
+100 TB deployment needs — broadcasts actually broadcast, cell math stays
+in codegen, scans prune partitions and columns, aggregates have map-side
+partial phases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry(spark):
+    import __spark_entry__ as e
+    return e
+
+
+class TestJoinPlans:
+    def test_spatial_join_broadcasts_regions(self, spark, entry):
+        df = entry.q_spatial_join_contains(spark, SF)
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        # the big point side must NOT be exchanged before the join
+        join_part = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in join_part
+
+    def test_attribute_join_is_broadcast_or_smj(self, spark, entry):
+        plan = _plan(entry.q_join_pushdown(spark, SF))
+        assert "Join" in plan
+
+    def test_knn_candidates_use_native_cells(self, spark, entry):
+        plan = _plan(entry.q_knn(spark, SF))
+        # the candidate cell filter is native bit math, not a Python UDF
+        assert "shiftleft" in plan or "shiftright" in plan
+
+
+class TestCodegen:
+    def test_cell_assignment_tiles_no_python(self, spark):
+        from geomesa_spark.operators.tiles import tile_counts
+        from geomesa_spark.raster.fixtures import images_df
+        plan = _plan(tile_counts(images_df(spark, 100)))
+        # tile assignment + count: only the fixture synth is Python
+        after_synth = plan.split("MapInPandas")[0]
+        assert "ArrowEvalPython" not in after_synth
+        assert "BatchEvalPython" not in plan
+
+    def test_density_is_pure_jvm(self, spark, entry):
+        plan = _plan(entry.q_density_grid(spark, SF))
+        assert "EvalPython" not in plan
+        # partial/final hash aggregate = the AggregatingScan shape
+        assert plan.count("HashAggregate") >= 2
+
+    def test_z3_heatmap_is_pure_jvm(self, spark, entry):
+        plan = _plan(entry.q_z3_heatmap(spark, SF))
+        assert "EvalPython" not in plan
+
+
+class TestAggregates:
+    def test_partial_final_hash_aggregate(self, spark, entry):
+        plan = _plan(entry.q_unique_values(spark, SF))
+        # map-side partial agg before the exchange (AggregatingScan shape)
+        assert plan.count("HashAggregate") >= 2
+
+    def test_topk_single_shuffle(self, spark, entry):
+        plan = _plan(entry.q_topk_per_key(spark, SF))
+        assert "Window" in plan
+
+
+class TestScanPushdown:
+    def test_column_pruning_reaches_scan(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = _plan(ev.select("event_id"))
+        assert "ReadSchema: struct<event_id:bigint>" in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        plan = _plan(li.where(F.col("l_quantity") > 40.0)
+                     .select("l_orderkey"))
+        assert "PushedFilters: [IsNotNull(l_quantity), " \
+               "GreaterThan(l_quantity,40.0)]" in plan
+
+    def test_bytes_column_not_scanned_for_tiles(self, spark, tmp_path):
+        """The heavy image payload must not be read for tile counting."""
+        from geomesa_spark.operators.tiles import tile_counts
+        from geomesa_spark.sources.table import ingest_images, read_images
+        path = str(tmp_path / "t")
+        ingest_images(spark, path, n=50, chunk_rows=50,
+                      partitions_per_chunk=2)
+        imgs = read_images(spark, path)
+        plan = _plan(tile_counts(imgs.select("lon", "lat", "image_id")))
+        read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+        assert "bytes" not in read_schema
