@@ -40,6 +40,8 @@ def cell_cover_of_geometry(geom: Geometry, res: int = PARTITION_RES,
     geometry (tighter than bbox for polygons — the XZ/polygon-decomposition
     trick of the reference, GeometryUtils.bounds + Z2IndexKeySpace:89-95).
     """
+    if geom is None or geom.is_empty():
+        return np.empty(0, dtype=np.int64)  # disjoint short-circuit
     x0, y0, x1, y1 = geom.bounds()
     if not np.isfinite(x0):
         return np.empty(0, dtype=np.int64)

