@@ -74,7 +74,12 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
     sh = shingles(df, n=n, text=text).select(
         F.col(id_col).alias("_id"), "shingles",
         F.size("shingles").alias("_n"))
-    ex = sh.select("_id", "_n", F.explode("shingles").alias("_s"))
+    # join on the 64-bit shingle hash, not the string: halves shuffle
+    # bytes and join-key comparison cost (collision odds ~1e-19/pair)
+    ex = sh.select(
+        "_id", "_n",
+        F.explode(F.transform("shingles",
+                              lambda s: F.xxhash64(s))).alias("_s"))
     if max_df is not None:
         freq = ex.groupBy("_s").agg(F.count("*").alias("_df")) \
             .where(F.col("_df") <= max_df)
@@ -97,6 +102,18 @@ def _minhash_coeffs(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _signatures_from_shingles(sh: DataFrame, *, k: int,
+                              id_col: str = "doc_id",
+                              seed: int = 7) -> DataFrame:
+    a, b = _minhash_coeffs(k, seed)
+    ex = (sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
+          .withColumn("_h", F.crc32(F.col("_s").cast("binary")).cast("long")
+                      % F.lit(MERSENNE31)))
+    aggs = [F.min((F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])))
+                  % F.lit(MERSENNE31)).alias(f"mh{i}") for i in range(k)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, *, k: int = 128, n: int = 3,
                        id_col: str = "doc_id", text: str = "text",
                        seed: int = 7) -> DataFrame:
@@ -106,14 +123,8 @@ def minhash_signatures(df: DataFrame, *, k: int = 128, n: int = 3,
     (a_i*h + b_i) mod 2^31-1 — a proper universal-hash family (products
     < 2^62, ANSI-safe). Entirely whole-stage-codegen: explode + wide min
     aggregate."""
-    a, b = _minhash_coeffs(k, seed)
-    ex = (shingles(df, n=n, text=text)
-          .select(F.col(id_col), F.explode("shingles").alias("_s"))
-          .withColumn("_h", F.crc32(F.col("_s").cast("binary")).cast("long")
-                      % F.lit(MERSENNE31)))
-    aggs = [F.min((F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])))
-                  % F.lit(MERSENNE31)).alias(f"mh{i}") for i in range(k)]
-    return ex.groupBy(id_col).agg(*aggs)
+    return _signatures_from_shingles(shingles(df, n=n, text=text),
+                                     k=k, id_col=id_col, seed=seed)
 
 
 def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
@@ -127,8 +138,11 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     positives. Output: (a, b, jaccard) with a < b, jaccard >= threshold."""
     r = 2
     bands = k // r
-    sig = minhash_signatures(df, k=k, n=n, id_col=id_col, text=text,
-                             seed=seed)
+    # the shingle frame feeds three plan branches (signatures + both
+    # verification sides); persist it so tokenization runs once
+    sh_base = shingles(df, n=n, text=text).select(
+        F.col(id_col), "shingles").persist()
+    sig = _signatures_from_shingles(sh_base, k=k, id_col=id_col, seed=seed)
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.col(f"mh{r * i}").alias("v0"),
@@ -141,10 +155,10 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     cand = (left.join(right, "bd")
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
-    sh = shingles(df, n=n, text=text).select(
-        F.col(id_col).alias("_id"), "shingles")
-    pa = sh.select(F.col("_id").alias("a"), F.col("shingles").alias("_sa"))
-    pb = sh.select(F.col("_id").alias("b"), F.col("shingles").alias("_sb"))
+    pa = sh_base.select(F.col(id_col).alias("a"),
+                        F.col("shingles").alias("_sa"))
+    pb = sh_base.select(F.col(id_col).alias("b"),
+                        F.col("shingles").alias("_sb"))
     joined = cand.join(pa, "a").join(pb, "b")
     common = F.size(F.array_intersect("_sa", "_sb"))
     jac = common / (F.size("_sa") + F.size("_sb") - common)
