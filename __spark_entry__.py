@@ -391,6 +391,31 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("brightness"), 3).alias("avg_brightness")))
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality-score filter
+    -> exact dedup (min-id keeper) -> join embeddings -> per-language
+    stats. Every stage is one of the engine's operators; the whole thing
+    is a single Catalyst plan."""
+    from geomesa_spark.text.analysis import quality_features
+    from geomesa_spark.text.dedup import normalized_text
+    from pyspark.sql import Window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quality_features(docs).where(F.col("q_score") >= 0.5)
+    w = Window.partitionBy(normalized_text("text")).orderBy("doc_id")
+    kept = (q.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    joined = kept.join(emb, kept["doc_id"] == emb["vec_id"]) \
+        .withColumn("_norm", norm)
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_norm"), 6).alias("avg_norm"),
+        F.round(F.avg("q_score"), 6).alias("avg_score"))
+
+
 def q_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch stats (rows-only: sketch encodings are engine-specific):
     HLL cardinality (MinMax stat's HyperLogLog), count-min-sketch bytes
@@ -508,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_brightness": q_image_brightness,
+        "training_pipeline": q_training_pipeline,
         "stats_sketches": q_stats_sketches,
         "density_footprint": q_density_footprint,
         "descriptive_stats": q_descriptive_stats,
@@ -662,6 +688,43 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE o_totalprice > 100000.0
             GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "training_pipeline": f"""
+            WITH u AS (
+              SELECT doc_id, lang, text, nc, len(toks) AS nt,
+                     list_distinct(toks) AS dt,
+                     nc - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                       AS np
+              FROM (SELECT d.*, length(text) AS nc,
+                           regexp_split_to_array(lower(trim(text)), '\\s+')
+                             AS toks
+                    FROM documents d)),
+            scored AS (
+              SELECT doc_id, lang, text,
+                     round(least(nt / 64.0, 1.0) * 0.4
+                       + (1.0 - least(CASE WHEN nc > 0 THEN
+                           np / CAST(nc AS DOUBLE) ELSE 0.0 END * 4.0,
+                           1.0)) * 0.3
+                       + least(CASE WHEN nt > 0 THEN
+                           len(list_intersect(dt,
+                             ['the','and','of','to','a','is']))
+                           / CAST(len(dt) AS DOUBLE) ELSE 0.0 END * 5.0,
+                           1.0) * 0.3, 6) AS q_score
+              FROM u),
+            kept AS (
+              SELECT doc_id, lang, q_score FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY regexp_replace(lower(trim(text)),
+                                              '\\s+', ' ', 'g')
+                  ORDER BY doc_id) AS rn
+                FROM scored WHERE q_score >= 0.5)
+              WHERE rn = 1)
+            SELECT k.lang, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])))), 6) AS avg_norm,
+                   round(avg(k.q_score), 6) AS avg_score
+            FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+            GROUP BY k.lang ORDER BY k.lang""",
         "density_footprint": f"""
             WITH px AS (
               SELECT least(greatest(CAST(floor((CAST(x0 AS DOUBLE) + 180.0) / 5.0) AS
