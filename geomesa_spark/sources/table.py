@@ -125,3 +125,63 @@ def read_chunk_lineage(spark: SparkSession, path: str, chunk: DataFrame,
                     F.col("cell_prefix").cast("long"),
                     F.col("n_rows").cast("long"),
                     F.col("bytes").cast("long")))
+
+
+def write_spatiotemporal(df: DataFrame, path: str, *,
+                         ts: str = "ts", lon: str = "lon",
+                         lat: str = "lat", res: int | None = None,
+                         mode: str = "append") -> None:
+    """Z3-style layout: partition by (epoch_week, cell_prefix) — the
+    reference's table time-partitioning combined with the spatial scheme
+    (TimePartition, /root/reference/geomesa-index-api/src/main/scala/org/
+    locationtech/geomesa/index/conf/partition/TimePartition.scala +
+    DateTimeScheme in geomesa-fs). Queries with both a time interval and
+    a bbox prune on both partition levels."""
+    from geomesa_spark.cells import PARTITION_RES
+    from geomesa_spark.cells.native import cell_expr
+    from geomesa_spark.cells.z3 import epoch_week_expr
+
+    res = res if res is not None else PARTITION_RES
+    out = (df.withColumn("epoch_week", F.coalesce(
+               epoch_week_expr(ts), F.lit(RESERVED_CELL)))
+           .withColumn("cell_prefix", cell_expr(lon, lat, res)))
+    (out.repartition("epoch_week", "cell_prefix")
+        .write.partitionBy("epoch_week", "cell_prefix")
+        .mode(mode).parquet(path))
+
+
+def spatiotemporal_scan(spark: SparkSession, path: str, *,
+                        bbox: tuple[float, float, float, float]
+                        | None = None,
+                        t0: str | None = None,
+                        t1: str | None = None) -> DataFrame:
+    """Partition-pruned scan: time interval -> epoch_week range filter,
+    bbox -> cell_prefix cover filter; exact refine on (ts, lon, lat)
+    stays with the caller (strict-filter semantics)."""
+    from geomesa_spark.cells import PARTITION_RES
+    from geomesa_spark.cells.z3 import WEEK_SECONDS
+    from geomesa_spark.geo.model import Polygon
+    from geomesa_spark.plans.planner import cell_cover_of_geometry
+
+    df = spark.read.parquet(path)
+    if t0 is not None or t1 is not None:
+        import datetime as _dt
+
+        def week_of(s: str) -> int:
+            d = _dt.datetime.fromisoformat(s).replace(
+                tzinfo=_dt.timezone.utc)
+            return int(d.timestamp() // WEEK_SECONDS)
+        if t0 is not None:
+            df = df.where(F.col("epoch_week") >= week_of(t0))
+        if t1 is not None:
+            df = df.where(F.col("epoch_week") <= week_of(t1))
+    if bbox is not None:
+        x0, y0, x1, y1 = bbox
+        poly = Polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        cover = cell_cover_of_geometry(poly, res=PARTITION_RES)
+        if cover is not None:
+            if len(cover) == 0:
+                return df.where(F.lit(False))
+            df = df.where(F.col("cell_prefix").isin(
+                [int(c) for c in cover.tolist()]))
+    return df

@@ -1,0 +1,94 @@
+"""Hypothesis property tests for the SFC kernels (the reference's
+Z2Test/Z3Test/XZ2SFCTest pattern with generated rather than fixed
+vectors)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geomesa_spark.cells import (MAX_RES, bbox_cover, cell_bounds, cell_id,
+                                 cell_prefix)
+from geomesa_spark.cells.xz2 import xz2_covers, xz2_index
+from geomesa_spark.cells.z3 import z3_cell, z3_decode
+
+lon_s = st.floats(min_value=-180.0, max_value=180.0,
+                  allow_nan=False, allow_infinity=False)
+lat_s = st.floats(min_value=-90.0, max_value=90.0,
+                  allow_nan=False, allow_infinity=False)
+res_s = st.integers(min_value=1, max_value=MAX_RES)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s, res=res_s)
+def test_point_within_own_cell_bounds(lon, lat, res):
+    c = cell_id(np.array([lon]), np.array([lat]), res)
+    x0, y0, x1, y1 = (float(v[0]) for v in cell_bounds(c, res))
+    # floor-bin + clamp: the point lies inside its cell's rectangle up to
+    # one double-rounding ulp of the world span (e.g. -2.2e-16 + 180
+    # rounds to exactly 180.0, shifting the bin); the kernel is
+    # self-consistent because covers and assignments share the same
+    # float pipeline
+    eps = 1e-10
+    assert x0 - eps <= lon <= x1 + eps or lon == 180.0
+    assert y0 - eps <= lat <= y1 + eps or lat == 90.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=lon_s, lat=lat_s)
+def test_prefix_is_consistent_with_coarse_cell(lon, lat):
+    fine = cell_id(np.array([lon]), np.array([lat]), 16)
+    coarse = cell_id(np.array([lon]), np.array([lat]), 4)
+    assert cell_prefix(fine, 16, 4)[0] == coarse[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lon_s, lat=lat_s,
+       w=st.floats(min_value=1e-6, max_value=30.0),
+       h=st.floats(min_value=1e-6, max_value=30.0))
+def test_cover_soundness_z2(lon, lat, w, h):
+    """Any point inside a bbox is in the bbox's cover (never
+    under-select)."""
+    x0 = max(lon - w, -180.0)
+    y0 = max(lat - h, -90.0)
+    x1 = min(lon + w, 180.0)
+    y1 = min(lat + h, 90.0)
+    cover = set(bbox_cover(x0, y0, x1, y1, 8).tolist())
+    c = int(cell_id(np.array([lon]), np.array([lat]), 8)[0])
+    assert c in cover
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon=lon_s, lat=lat_s,
+       ts=st.integers(min_value=0, max_value=2_000_000_000))
+def test_z3_roundtrip(lon, lat, ts):
+    epoch, z = z3_cell(np.array([lon]), np.array([lat]),
+                       np.array([ts * 1_000_000]))
+    xb, yb, tb = z3_decode(z)
+    n = 1 << 21
+    assert 0 <= xb[0] < n and 0 <= yb[0] < n and 0 <= tb[0] < n
+    # re-encoding the decoded bins gives the same z value
+    from geomesa_spark.cells.z3 import _spread3
+    z2 = (_spread3(xb) | (_spread3(yb) << np.uint64(1))
+          | (_spread3(tb) << np.uint64(2))).astype(np.int64)
+    assert z2[0] == z[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(cx=st.floats(min_value=-170.0, max_value=170.0),
+       cy=st.floats(min_value=-80.0, max_value=80.0),
+       w=st.floats(min_value=0.01, max_value=8.0),
+       h=st.floats(min_value=0.01, max_value=4.0),
+       qx=st.floats(min_value=-170.0, max_value=170.0),
+       qy=st.floats(min_value=-80.0, max_value=80.0),
+       qs=st.floats(min_value=0.5, max_value=40.0))
+def test_cover_soundness_xz2(cx, cy, w, h, qx, qy, qs):
+    """If a box intersects the query, its XZ2 code is in the cover."""
+    bx0, by0, bx1, by1 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+    qx0, qy0, qx1, qy1 = qx - qs / 2, qy - qs / 2, qx + qs / 2, qy + qs / 2
+    if bx1 < qx0 or bx0 > qx1 or by1 < qy0 or by0 > qy1:
+        return  # disjoint: no claim
+    code = int(xz2_index([bx0], [by0], [bx1], [by1])[0])
+    assert any(lo <= code <= hi
+               for lo, hi in xz2_covers(qx0, qy0, qx1, qy1))

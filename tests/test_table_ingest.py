@@ -84,3 +84,53 @@ def test_resume_after_partial_ingest(spark, tmp_path):
     df = read_images(spark, path)
     assert df.count() == N
     assert df.select("image_id").distinct().count() == N
+
+
+class TestSpatioTemporalLayout:
+    @pytest.fixture(scope="class")
+    def st_table(self, spark, tmp_path_factory):
+        from geomesa_spark.sources.table import write_spatiotemporal
+        path = str(tmp_path_factory.mktemp("st") / "events")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        pts = ev.select(
+            "event_id", "ts",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
+        write_spatiotemporal(pts, path)
+        return path, pts
+
+    def test_layout_has_both_partition_levels(self, spark, st_table):
+        path, _ = st_table
+        weeks = [d for d in os.listdir(path) if d.startswith("epoch_week=")]
+        assert weeks
+        sub = os.path.join(path, weeks[0])
+        assert any(d.startswith("cell_prefix=") for d in os.listdir(sub))
+
+    def test_pruned_scan_matches_bruteforce(self, spark, st_table):
+        from geomesa_spark.sources.table import spatiotemporal_scan
+        path, pts = st_table
+        bbox = (-30.0, -20.0, 40.0, 35.0)
+        got = spatiotemporal_scan(
+            spark, path, bbox=bbox,
+            t0="2024-01-01", t1="2024-01-08")
+        # refine exactly (scan may over-select by design)
+        got = got.where(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+            & (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-09"))
+        want = pts.where(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+            & (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-09"))
+        assert {r["event_id"] for r in got.collect()} == \
+            {r["event_id"] for r in want.collect()}
+
+    def test_both_partition_filters_in_plan(self, spark, st_table):
+        from geomesa_spark.sources.table import spatiotemporal_scan
+        path, _ = st_table
+        df = spatiotemporal_scan(spark, path, bbox=(-30, -20, 40, 35),
+                                 t0="2024-01-01", t1="2024-01-08")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "epoch_week" in pf and "cell_prefix" in pf
