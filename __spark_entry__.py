@@ -165,13 +165,13 @@ def q_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st_geoHash binning (25-bit = 5-char geohash) with counts."""
+    """st_geoHash binning (10-bit = 2-char geohash) with counts."""
     _ensure_functions(spark)
     _events_points(spark, sf_dir).createOrReplaceTempView("pts")
     return spark.sql("""
-        SELECT st_geoHash(st_makePoint(lon, lat), 25) AS gh,
+        SELECT st_geoHash(st_makePoint(lon, lat), 10) AS gh,
                count(*) AS n
-        FROM pts GROUP BY 1 HAVING count(*) > 1""")
+        FROM pts GROUP BY 1""")
 
 
 def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,6 +647,23 @@ def oracle_sql() -> dict[str, str]:
         "distance_filter": f"""
             SELECT event_id, round({hav_paris}, 3) AS dist_m
             FROM {pts} WHERE {hav_paris} <= 1000000.0 ORDER BY event_id""",
+        "geohash_agg": f"""
+            WITH b AS (
+              SELECT least(CAST(floor((lon + 180.0) / 360.0 * 32) AS
+                       BIGINT), 31) AS xb,
+                     least(CAST(floor((lat + 90.0) / 180.0 * 32) AS
+                       BIGINT), 31) AS yb
+              FROM {pts}),
+            v AS (SELECT ({" | ".join(
+                f"(((xb >> {4 - i}) & 1) << {9 - 2 * i}) | "
+                f"(((yb >> {4 - i}) & 1) << {8 - 2 * i})"
+                for i in range(5))}) AS val FROM b)
+            SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                          CAST((val >> 5) AS INT) + 1, 1)
+                   || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                             CAST((val & 31) AS INT) + 1, 1) AS gh,
+                   count(*) AS n
+            FROM v GROUP BY 1 ORDER BY gh""",
         "stats_minmax": f"""
             SELECT count(*) AS cnt,
                    round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
@@ -869,11 +886,14 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.4
             ORDER BY a, b""",
     }
-    # Deliberately rows-only (no oracle entry): geohash_agg (geohash not
-    # SQL-expressible), doc_fingerprint + simhash_dedup_pairs (crc32 absent
-    # in DuckDB; exact pytest oracles in tests/test_text_pipeline.py),
-    # image_tile_counts + image_brightness (sha256 phash / Gaussian clusters
-    # / pixel decode not SQL-expressible; pytest-gated per-row invariants).
+    # Deliberately rows-only (no oracle entry): doc_fingerprint +
+    # simhash_dedup_pairs (crc32 absent in DuckDB; exact pytest oracles in
+    # tests/test_text_pipeline.py), image_tile_counts + image_brightness
+    # (sha256 phash / Gaussian clusters / pixel decode not SQL-expressible;
+    # pytest-gated per-row invariants), convex_hull (no SQL hull; geometric
+    # invariants in tests/test_export.py), bin_export + geojson_export
+    # (byte layouts pytest-gated), stats_sketches (sketch encodings are
+    # engine-specific).
 
 
 def entry(spark: SparkSession) -> DataFrame:
