@@ -597,6 +597,40 @@ def _jaccard_pairs_sql(threshold: float) -> str:
         WHERE jaccard >= {threshold} ORDER BY a, b"""
 
 
+def _char_hash_sql(expr: str, mult: int) -> str:
+    """DuckDB replica of text.analysis.char_hash_expr (bit-exact)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({expr}, ''), "
+            f"c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, h) -> (a * {mult} + h) % 2147483647)")
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((h{1 if b < 32 else 2} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}" for b in range(64))
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN "
+        + (f"CAST(-9223372036854775808 AS BIGINT)" if b == 63
+           else f"CAST({1 << b} AS BIGINT)")
+        + " ELSE 0 END)" for b in range(64))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                   AS t
+          FROM documents),
+        h AS (SELECT doc_id, {_char_hash_sql('t', 31)} AS h1,
+                     {_char_hash_sql('t', 37)} AS h2 FROM tok),
+        s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sim FROM s)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        ORDER BY a, b"""
+
+
 def _lang_markers_sql() -> dict[str, str]:
     from geomesa_spark.text.analysis import LANG_MARKERS
     return {lang: "[" + ", ".join(f"'{m}'" for m in ms) + "]"
@@ -858,6 +892,17 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT lang_pred, count(*) AS n FROM p
             GROUP BY lang_pred ORDER BY lang_pred""",
+        "doc_fingerprint": f"""
+            WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(toks,
+                       tok -> {_char_hash_sql('tok', 31)})),
+                     (acc, h) -> (acc * 31 + h) % 2147483647) AS fp
+            FROM t ORDER BY doc_id""",
+        "simhash_dedup_pairs": _simhash_sql(),
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents
@@ -886,14 +931,12 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.4
             ORDER BY a, b""",
     }
-    # Deliberately rows-only (no oracle entry): doc_fingerprint +
-    # simhash_dedup_pairs (crc32 absent in DuckDB; exact pytest oracles in
-    # tests/test_text_pipeline.py), image_tile_counts + image_brightness
-    # (sha256 phash / Gaussian clusters / pixel decode not SQL-expressible;
-    # pytest-gated per-row invariants), convex_hull (no SQL hull; geometric
-    # invariants in tests/test_export.py), bin_export + geojson_export
-    # (byte layouts pytest-gated), stats_sketches (sketch encodings are
-    # engine-specific).
+    # Deliberately rows-only (no oracle entry): image_tile_counts +
+    # image_brightness (sha256 phash / Gaussian clusters / pixel decode not
+    # SQL-expressible; pytest-gated per-row invariants), convex_hull (no
+    # SQL hull; geometric invariants in tests/test_export.py), bin_export +
+    # geojson_export (byte layouts pytest-gated), stats_sketches (sketch
+    # encodings are engine-specific).
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -25,8 +25,23 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 FP_MULT = 31           # polynomial rolling-hash base
-FP_MOD = (1 << 31) - 1  # Mersenne-31 modulus: acc*31 + crc32 < 2^37, so the
+FP_MOD = (1 << 31) - 1  # Mersenne-31 modulus: products stay < 2^42, so the
                         # fold never overflows a long under ANSI mode
+
+
+def char_hash_expr(col: Column, mult: int = FP_MULT,
+                   mod: int = FP_MOD) -> Column:
+    """Polynomial hash of a string, char by char:
+
+        h = fold(chars, 0, (acc, c) -> (acc * mult + ascii(c)) mod mod)
+
+    Chosen over crc32/xxhash because the identical fold runs in DuckDB
+    (list_reduce + ascii), giving the oracle bit-exact parity. Pure JVM:
+    split-to-chars + aggregate, whole-stage codegen."""
+    return F.aggregate(
+        F.filter(F.split(col, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % mod)
 
 
 def with_tokens(df: DataFrame, text: str = "text",
@@ -91,16 +106,16 @@ def fingerprint(df: DataFrame, text: str = "text",
                 out: str = "fp") -> DataFrame:
     """Order-sensitive rolling document fingerprint:
 
-        fp = fold(tokens, 0, (acc, t) -> (acc * 31 + crc32(t)) mod (2^31-1))
+        fp = fold(tokens, 0, (acc, t) -> (acc*31 + char_hash(t)) mod 2^31-1)
 
-    Pure JVM expression (``aggregate`` + ``crc32``); exact Python oracle is
-    zlib.crc32 with the same modular fold."""
+    where char_hash is the char-fold polynomial hash (``char_hash_expr``) —
+    the same arithmetic runs in the DuckDB oracle, so the fingerprint is
+    value-checked end to end, not just rows-only."""
     d = with_tokens(df, text)
     fp = F.aggregate(
         "tokens",
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * FP_MULT + F.crc32(t.cast("binary"))
-                        .cast("long")) % FP_MOD)
+        lambda acc, t: (acc * FP_MULT + char_hash_expr(t)) % FP_MOD)
     return d.withColumn(out, fp).drop("tokens")
 
 

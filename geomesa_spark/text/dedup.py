@@ -169,14 +169,16 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
             out: str = "simhash") -> DataFrame:
     """64-bit SimHash: bit b is set iff sum over tokens of
-    (+1 if crc32(token) has bit b else -1) > 0. Wide JVM aggregate."""
+    (+1 if hash(token) has bit b else -1) > 0. Wide JVM aggregate.
+
+    Token hash = char-fold polynomial hash (two multipliers widen to 64
+    bits) — the same arithmetic runs in the DuckDB oracle, making the
+    near-dup pairs value-checked, not rows-only."""
+    from geomesa_spark.text.analysis import char_hash_expr
     ex = (with_tokens(df, text)
           .select(F.col(id_col), F.explode("tokens").alias("_t"))
-          .withColumn("_h", F.crc32(F.col("_t").cast("binary")).cast("long")))
-    # crc32 is 32-bit; widen to 64 by hashing token twice with a salt
-    ex = ex.withColumn(
-        "_h2", F.crc32(F.concat(F.lit("s:"), F.col("_t")).cast("binary"))
-        .cast("long"))
+          .withColumn("_h", char_hash_expr(F.col("_t"), 31))
+          .withColumn("_h2", char_hash_expr(F.col("_t"), 37)))
     sums = [F.sum(F.when(((F.col("_h") if b < 32 else F.col("_h2"))
                           .bitwiseAND(F.lit(1 << (b % 32)))) != 0, 1)
                   .otherwise(-1)).alias(f"s{b}") for b in range(64)]

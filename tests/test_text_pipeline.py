@@ -5,7 +5,6 @@
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pytest
@@ -49,6 +48,13 @@ def _shingles(t, n=3):
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _char_hash(t, mult=31, mod=(1 << 31) - 1):
+    h = 0
+    for c in t:
+        h = (h * mult + ord(c)) % mod
+    return h
+
+
 class TestAnalysis:
     def test_quality_features_match_python(self, docs, local_docs):
         from geomesa_spark.text.analysis import STOPWORDS, quality_features
@@ -80,13 +86,13 @@ class TestAnalysis:
                for r in lang_id(df).collect()}
         assert got == {1: "en", 2: "de", 3: "es", 4: "und", 5: "en"}
 
-    def test_fingerprint_matches_crc_fold(self, docs, local_docs):
+    def test_fingerprint_matches_char_fold(self, docs, local_docs):
         from geomesa_spark.text.analysis import FP_MOD, FP_MULT, fingerprint
         rows = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
         for did in list(local_docs)[:10]:
             acc = 0
             for t in _toks(local_docs[did]):
-                acc = (acc * FP_MULT + zlib.crc32(t.encode())) % FP_MOD
+                acc = (acc * FP_MULT + _char_hash(t)) % FP_MOD
             assert rows[did] == acc
 
     def test_fingerprint_order_sensitive(self, spark):
@@ -159,8 +165,8 @@ class TestDedup:
         def py_simhash(text):
             sums = [0] * 64
             for t in _toks(text):
-                h1 = zlib.crc32(t.encode())
-                h2 = zlib.crc32(b"s:" + t.encode())
+                h1 = _char_hash(t, 31)
+                h2 = _char_hash(t, 37)
                 for b in range(64):
                     h = h1 if b < 32 else h2
                     sums[b] += 1 if (h >> (b % 32)) & 1 else -1
