@@ -333,6 +333,7 @@ def build_udfs() -> dict:
     u["st_coordDim"] = _udf("g", I, _coord_dim)
     u["st_dimension"] = _udf("g", I, lambda g: g.dimension())
     u["st_envelope"] = _udf("g", "g", gm.envelope)
+    u["st_convexHull"] = _udf("g", "g", gm.convex_hull)
     u["st_exteriorRing"] = _udf("g", "g",
                                 lambda g: g.exterior() if isinstance(g, Polygon) else None,
                                 skip_null=True)

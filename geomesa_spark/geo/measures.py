@@ -372,3 +372,35 @@ def translate(g: Geometry, dx: float, dy: float) -> Geometry:
         return Polygon(g.shell + [dx, dy], [h + [dx, dy] for h in g.holes])
     cls = type(g)
     return cls([translate(p, dx, dy) for p in g.parts])
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Convex hull of a single geometry (JTS Geometry.convexHull semantics:
+    point for <=1 distinct vertex, line for 2 collinear-degenerate input,
+    CCW polygon otherwise). Backs the scalar st_convexHull function; the
+    grouped aggregate lives in operators/export.py."""
+    pts = _all_points(g)
+    if len(pts) == 0:
+        return Polygon(np.empty((0, 2)))
+    uniq = np.unique(pts, axis=0)
+    if len(uniq) == 1:
+        return Point(float(uniq[0, 0]), float(uniq[0, 1]))
+    plist = [(float(a), float(b)) for a, b in uniq]
+
+    def half(p):
+        out = []
+        for (vx, vy) in p:
+            while len(out) >= 2:
+                (ax, ay), (bx, by) = out[-2], out[-1]
+                if (bx - ax) * (vy - ay) - (by - ay) * (vx - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((vx, vy))
+        return out
+    lower = half(plist)
+    upper = half(plist[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) == 2:
+        return LineString([list(hull[0]), list(hull[1])])
+    return Polygon([list(p) for p in hull] + [list(hull[0])])

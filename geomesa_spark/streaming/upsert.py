@@ -37,10 +37,19 @@ def latest_by_key(df: DataFrame, key: str = "key", ts: str = "ts",
                   seq: str | None = None) -> DataFrame:
     """Batch compaction: last-write-wins snapshot of an upsert log
     (the lambda-store merged view / foreachBatch MERGE equivalent).
-    Rows whose latest op is a delete are dropped."""
+
+    GeoMessage semantics: rows whose latest op is a ``delete`` drop out;
+    a ``clear`` op (key ignored) wipes everything written at or before
+    its timestamp — handled here, where the whole log is visible, rather
+    than in the per-key streaming state (documented split)."""
+    clears = df.where(F.col("op") == "clear")
+    data = df.where(F.col("op") != "clear")
+    if not clears.isEmpty():
+        cutoff = clears.agg(F.max(ts)).collect()[0][0]
+        data = data.where(F.col(ts) > F.lit(cutoff))
     order = [F.desc(ts)] + ([F.desc(seq)] if seq else [])
     w = Window.partitionBy(key).orderBy(*order)
-    latest = (df.withColumn("_rn", F.row_number().over(w))
+    latest = (data.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") == 1).drop("_rn"))
     return latest.where(F.col("op") != "delete")
 

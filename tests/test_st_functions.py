@@ -175,3 +175,18 @@ def test_dsl_matches_sql(spark):
     row = df.collect()[0]
     assert row["c"] is True
     assert row["t"] == "POINT (5 5)"
+
+
+def test_st_convexhull(spark):
+    from tests.test_st_functions import q  # self-import safe in pytest
+    hull = q(spark, "select st_asText(st_convexHull(st_geomFromWKT("
+                    "'MULTIPOINT((0 0), (4 0), (4 4), (2 1))')))")
+    assert hull.startswith("POLYGON")
+    assert "2 1" not in hull  # interior point eliminated
+    # degenerate cases: single point, two points
+    p = q(spark, "select st_asText(st_convexHull(st_makePoint(3.0, 4.0)))")
+    assert p.startswith("POINT")
+    ln = q(spark, "select st_asText(st_convexHull(st_geomFromWKT("
+                  "'MULTIPOINT((0 0), (2 2))')))")
+    assert ln.startswith("LINESTRING")
+    assert q(spark, "select st_convexHull(null)") is None

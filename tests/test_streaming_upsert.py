@@ -117,3 +117,18 @@ class TestBatchCompaction:
         got = {r["key"]: r["payload"]
                for r in latest_by_key(df, seq="seq").collect()}
         assert got == {"a": "a2", "c": "c-new"}  # b deleted; seq tiebreak
+
+
+class TestClearOp:
+    def test_clear_wipes_older_state(self, spark):
+        from geomesa_spark.streaming.upsert import latest_by_key
+        df = spark.createDataFrame([
+            ("a", "put", "2024-01-01 00:00:01", 1.0, 1.0, "old-a", 1),
+            ("b", "put", "2024-01-01 00:00:02", 2.0, 2.0, "old-b", 2),
+            (None, "clear", "2024-01-01 00:00:05", None, None, None, 3),
+            ("a", "put", "2024-01-01 00:00:06", 3.0, 3.0, "new-a", 4),
+        ], SCHEMA.replace("ts timestamp", "ts string")) \
+            .withColumn("ts", F.to_timestamp("ts"))
+        got = {r["key"]: r["payload"]
+               for r in latest_by_key(df, seq="seq").collect()}
+        assert got == {"a": "new-a"}  # b wiped by clear; old-a superseded
