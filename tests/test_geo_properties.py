@@ -1,0 +1,83 @@
+"""Hypothesis property tests for the pure-numpy geometry engine:
+WKB/WKT round-trips and DE-9IM predicate consistency laws (the dual-path
+equivalence idea of the reference's test strategy, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geomesa_spark.geo import (LineString, Point, Polygon, from_wkb,
+                               from_wkt, to_wkb, to_wkt)
+from geomesa_spark.geo import predicates as gp
+
+coord = st.floats(min_value=-179.0, max_value=179.0,
+                  allow_nan=False, allow_infinity=False)
+
+
+@st.composite
+def points(draw):
+    return Point(draw(coord), draw(coord.filter(lambda v: abs(v) <= 89)))
+
+
+@st.composite
+def boxes(draw):
+    cx = draw(st.floats(min_value=-170, max_value=170))
+    cy = draw(st.floats(min_value=-80, max_value=80))
+    w = draw(st.floats(min_value=0.01, max_value=8.0))
+    h = draw(st.floats(min_value=0.01, max_value=8.0))
+    x0, y0, x1, y1 = cx - w, cy - h, cx + w, cy + h
+    return Polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+
+@st.composite
+def lines(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    return LineString([[draw(coord), draw(coord)] for _ in range(n)])
+
+
+geoms = st.one_of(points(), boxes(), lines())
+
+
+@settings(max_examples=150, deadline=None)
+@given(g=geoms)
+def test_wkb_roundtrip(g):
+    g2 = from_wkb(to_wkb(g))
+    assert type(g2) is type(g)
+    assert np.allclose(g.bounds(), g2.bounds())
+    assert to_wkb(g2) == to_wkb(g)  # byte-stable
+
+
+@settings(max_examples=150, deadline=None)
+@given(g=geoms)
+def test_wkt_roundtrip(g):
+    g2 = from_wkt(to_wkt(g))
+    assert np.allclose(g.bounds(), g2.bounds(), atol=1e-9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=geoms, b=geoms)
+def test_de9im_consistency_laws(a, b):
+    # duality
+    assert gp.contains(a, b) == gp.within(b, a)
+    assert gp.covers(a, b) == gp.covered_by(b, a)
+    # intersects is the negation of disjoint, and symmetric
+    assert gp.intersects(a, b) == (not gp.disjoint(a, b))
+    assert gp.intersects(a, b) == gp.intersects(b, a)
+    # contains implies covers; equals implies both directions of covers
+    if gp.contains(a, b):
+        assert gp.covers(a, b)
+    if gp.equals(a, b):
+        assert gp.covers(a, b) and gp.covers(b, a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(p=points(), b=boxes())
+def test_point_in_box_agrees_with_arithmetic(p, b):
+    x0, y0, x1, y1 = b.bounds()
+    inside = x0 < p.x < x1 and y0 < p.y < y1
+    on_edge = (not inside) and x0 <= p.x <= x1 and y0 <= p.y <= y1
+    assert gp.contains(b, p) == inside
+    assert gp.covers(b, p) == (inside or on_edge)
+    assert gp.intersects(b, p) == (inside or on_edge)
