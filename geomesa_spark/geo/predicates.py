@@ -233,6 +233,12 @@ def _split_samples(lines_a: list[np.ndarray], lines_b: list[np.ndarray]):
             ts = [0.0, 1.0]
             dx, dy = a2[0] - a1[0], a2[1] - a1[1]
             L2 = dx * dx + dy * dy
+            if L2 == 0.0:
+                # degenerate segment (identical or subnormal-length
+                # endpoints whose squared length underflows): treat as a
+                # single sample point, no parameter splitting possible
+                mids.append((a1[0], a1[1]))
+                continue
             for b1, b2 in segs_b:
                 kind, data = _seg_intersection(a1, a2, b1, b2)
                 if kind == "point":
