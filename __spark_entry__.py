@@ -36,6 +36,7 @@ KNN_QUERIES = [
 ]
 
 _REGISTERED = set()
+_SHIPPED = set()
 
 
 def _ensure_functions(spark: SparkSession) -> None:
@@ -43,6 +44,35 @@ def _ensure_functions(spark: SparkSession) -> None:
         from geomesa_spark.functions import register_all
         register_all(spark)
         _REGISTERED.add(id(spark))
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to Python UDF workers via addPyFile.
+
+    The driver process can import geomesa_spark through this module's
+    sys.path insert, but UDF workers spawn from the JVM with their own
+    environment — without this, any pandas-UDF query fails with
+    ModuleNotFoundError when the host runs from a different cwd."""
+    if id(spark) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         "geomesa_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for base, _, files in os.walk(os.path.join(root, "geomesa_spark")):
+            if "__pycache__" in base:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(base, f)
+                    zf.write(full, os.path.relpath(full, root))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. already added under the same name
+    _SHIPPED.add(id(spark))
 
 
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +532,21 @@ def q_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_geojson_features(pts, id_col="event_id")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]
+          ) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers(spark)
+        return fn(spark, sf_dir)
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _wrap(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_contains": q_spatial_join_contains,
         "spatial_join_intersects": q_spatial_join_intersects,
@@ -941,4 +985,5 @@ def oracle_sql() -> dict[str, str]:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: broadcast point-in-polygon spatial join on sf0.001."""
+    _ensure_workers(spark)
     return q_spatial_join_contains(spark, "/root/testdata/sf0.001")
