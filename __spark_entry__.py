@@ -112,6 +112,36 @@ def _regions_values_sql() -> str:
     return f"(VALUES {rows}) AS r(region_id, x0, y0, x1, y1)"
 
 
+def _wide_regions() -> list[tuple[str, float, float, float, float]]:
+    """Denser/bigger boxes (seed 1) so the polygon-polygon self-join has
+    non-empty output to value-check."""
+    rng = np.random.default_rng(1)
+    out = []
+    for j in range(N_REGIONS):
+        cx = rng.uniform(-180, 180)
+        cy = rng.uniform(-90, 90)
+        hw = 8.0 * rng.uniform()
+        hh = 4.0 * rng.uniform()
+        out.append((str(j + 1), float(cx - hw), float(cy - hh),
+                    float(cx + hw), float(cy + hh)))
+    return out
+
+
+def _wide_regions_df(spark: SparkSession) -> DataFrame:
+    from geomesa_spark.geo import Polygon, to_wkb
+    rows = [(rid, bytearray(to_wkb(Polygon(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
+        for (rid, x0, y0, x1, y1) in _wide_regions()]
+    return spark.createDataFrame(rows, "region_id string, geom binary")
+
+
+def _wide_regions_values_sql() -> str:
+    rows = ", ".join(
+        f"('{rid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for (rid, x0, y0, x1, y1) in _wide_regions())
+    return f"(VALUES {rows}) AS r(region_id, x0, y0, x1, y1)"
+
+
 _POINTS_SQL = ("(SELECT event_id, event_type, value, "
                "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
                "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM events)")
@@ -489,7 +519,7 @@ def q_region_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against themselves — the general geometry-pair join path with
     cover-cell equi-join + exact refine + (a,b) dedupe."""
     from geomesa_spark.operators.join import spatial_join_pairs
-    reg = _regions_df(spark)
+    reg = _wide_regions_df(spark)
     left = reg.select(F.col("region_id").alias("a"),
                       F.col("geom").alias("geom_a"))
     right = reg.select(F.col("region_id").alias("b"),
@@ -687,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
     hav = _haversine_sql("p.lon", "p.lat", "q.qlon", "q.qlat")
     hav_paris = _haversine_sql("lon", "lat", "2.35", "48.85")
     mk = _lang_markers_sql()
+    wide_regions = _wide_regions_values_sql()
     return {
         "spatial_join_contains": f"""
             SELECT p.event_id, r.region_id
@@ -849,8 +880,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type ORDER BY event_type""",
         "region_self_join": f"""
             SELECT a.region_id AS a, b.region_id AS b
-            FROM {regions.replace("AS r(", "AS a(")}
-            JOIN {regions.replace("AS r(", "AS b(")}
+            FROM {wide_regions.replace("AS r(", "AS a(")}
+            JOIN {wide_regions.replace("AS r(", "AS b(")}
               ON CAST(a.region_id AS INT) < CAST(b.region_id AS INT)
              AND a.x0 <= b.x1 AND b.x0 <= a.x1
              AND a.y0 <= b.y1 AND b.y0 <= a.y1
