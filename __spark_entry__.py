@@ -339,15 +339,25 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z3Histogram: counts keyed by (epoch week, 4-bit/dim z3 cell) — the
     spatio-temporal heatmap, all native Catalyst bit math."""
     from geomesa_spark.cells.z3 import z3_expr
+    # UTC only while this plan is ANALYZED (ResolveTimeZone captures the
+    # session zone into the timestamp expressions); restore afterwards so
+    # the shared session is not order-dependent for later queries
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
-    pts = ev.join(_events_points(spark, sf_dir).select("event_id", "lon",
-                                                       "lat"), "event_id")
-    k = z3_expr("lon", "lat", "ts", prefix_res=4)
-    return (pts.withColumn("k", k)
-            .groupBy(F.col("k.epoch").alias("epoch"),
-                     F.col("k.z3").alias("z3"))
-            .agg(F.count("*").alias("n")))
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "ts")
+        pts = ev.join(_events_points(spark, sf_dir).select(
+            "event_id", "lon", "lat"), "event_id")
+        k = z3_expr("lon", "lat", "ts", prefix_res=4)
+        out = (pts.withColumn("k", k)
+               .groupBy(F.col("k.epoch").alias("epoch"),
+                        F.col("k.z3").alias("z3"))
+               .agg(F.count("*").alias("n")))
+        out.schema  # force analysis while UTC is active
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 # ---------------------------------------------- training-data pipeline ops
@@ -418,10 +428,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4)."""
+    """Embedding-cosine near-duplicate pairs (exact, threshold 0.4) via the
+    distributed block-matrix join — no driver-side collect of the corpus
+    (the broadcast variant stays a pytest-only small-fixture oracle)."""
     from geomesa_spark.ml.similarity import embedding_near_dup_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(emb, threshold=0.4).select("a", "b")
+    return embedding_near_dup_pairs(emb, threshold=0.4,
+                                    method="block").select("a", "b")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random hyperplanes, 8 tables,
+    multiprobe) for the same query set as ann_topk. The LSH parameters are
+    sized so recall is 1.0 on this fixture, making the exact-top-k SQL
+    oracle a REAL recall gate: any under-recall fails the value check."""
+    from geomesa_spark.ml.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding")
+    out = lsh_topk(emb, queries_df, 10, n_planes=6, n_tables=8,
+                   multiprobe=2)
+    return out.select("query_id", "rank", "vec_id")
 
 
 def _n_images(sf_dir: str) -> int:
@@ -485,8 +512,10 @@ def q_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.length(F.count_min_sketch("user_id", F.lit(0.01), F.lit(0.95),
                                     F.lit(42))).alias("cms_bytes"),
-        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)),
-                            10_000).alias("quantiles"))
+        # scalar columns (not array<double>): the driver canonicalizer
+        # sorts/factorizes values and cannot hash list cells
+        F.percentile_approx("value", F.lit(0.5), 10_000).alias("q50"),
+        F.percentile_approx("value", F.lit(0.95), 10_000).alias("q95"))
 
 
 def q_density_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,6 +633,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_brightness": q_image_brightness,
@@ -680,9 +710,12 @@ def _char_hash_sql(expr: str, mult: int) -> str:
 
 
 def _simhash_sql() -> str:
+    from geomesa_spark.text.dedup import _simhash_bit_source
+    srcs = [_simhash_bit_source(b) for b in range(64)]
     sums = ", ".join(
-        f"sum(CASE WHEN ((h{1 if b < 32 else 2} >> {b % 32}) & 1) = 1 "
-        f"THEN 1 ELSE -1 END) AS s{b}" for b in range(64))
+        f"sum(CASE WHEN ((h{idx} >> {pos}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b, (idx, pos) in enumerate(srcs))
     bits = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN "
         + (f"CAST(-9223372036854775808 AS BIGINT)" if b == 63
@@ -695,7 +728,8 @@ def _simhash_sql() -> str:
                    AS t
           FROM documents),
         h AS (SELECT doc_id, {_char_hash_sql('t', 31)} AS h1,
-                     {_char_hash_sql('t', 37)} AS h2 FROM tok),
+                     {_char_hash_sql('t', 37)} AS h2,
+                     {_char_hash_sql('t', 41)} AS h3 FROM tok),
         s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
         sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sim FROM s)
         SELECT a.doc_id AS a, b.doc_id AS b,
@@ -986,6 +1020,21 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_pairs": _jaccard_pairs_sql(0.3),
         "minhash_dedup_pairs": _jaccard_pairs_sql(0.5),
         "ann_topk": """
+            SELECT query_id, rank, vec_id FROM (
+              SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) DESC,
+                       e.vec_id) AS rank,
+                     e.vec_id
+              FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+              CROSS JOIN embeddings e)
+            WHERE rank <= 10 ORDER BY query_id, rank""",
+        # lsh_topk oracle = the EXACT top-k: passes only if the seeded LSH
+        # parameters achieve recall 1.0 on this fixture (a genuine gate)
+        "lsh_topk": """
             SELECT query_id, rank, vec_id FROM (
               SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
                      row_number() OVER (

@@ -125,9 +125,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     if n_tables > 1:
         sig_q = sig_q.withColumn("bucket", F.explode("bucket"))
     if multiprobe:
-        probes = F.array(*([F.col("bucket")] +
-                           [F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                            for b in range(n_planes)]))
+        # probe all buckets within hamming distance ``multiprobe`` of the
+        # query's bucket (flip subsets of sign bits): queries are the tiny
+        # side, so extra probes cost query-side rows, not corpus scans
+        masks: list[int] = [0]
+        if multiprobe >= 1:
+            masks += [1 << b for b in range(n_planes)]
+        if multiprobe >= 2:
+            masks += [(1 << b1) | (1 << b2)
+                      for b1 in range(n_planes)
+                      for b2 in range(b1 + 1, n_planes)]
+        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                           for m in masks])
         sig_q = sig_q.withColumn("bucket", F.explode(probes))
     q = sig_q.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
                      F.col("bucket").alias("_bk"))
@@ -152,19 +161,101 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                     F.round(F.col("cos"), 6).alias("cos")))
 
 
+def block_pair_near_dup(df: DataFrame, *, threshold: float = 0.9,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_blocks: int = 8) -> DataFrame:
+    """EXACT all-pairs cosine near-dup via distributed block-matrix join —
+    no driver-side collect, the scale-safe exact path.
+
+    Rows hash into ``n_blocks`` blocks; each row is replicated to every
+    block PAIR it participates in (side a for pairs (own, j>=own), side b
+    for (i<own, own)), then one ``applyInPandas`` per block pair runs the
+    vectorized matmul between the two sides. Shuffle volume is
+    O(n * n_blocks) rows and per-group memory is O((n/n_blocks) * dim) —
+    both tunable — while the O(n^2) similarity flops stay inside numpy.
+    The same partial-compute shape as the reference's server-side
+    AggregatingScan iterators (/root/reference/geomesa-index-api/src/main/
+    scala/org/locationtech/geomesa/index/iterators/AggregatingScan.scala)."""
+    out_schema = "a long, b long, cos double"
+
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "cos": pd.Series(dtype="float64")})
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] == 0]
+        if not len(left):  # the a-side hash block had no rows
+            return empty.copy()
+        lm = np.array(list(left["_v"]), dtype=np.float64)
+        ln = np.linalg.norm(lm, axis=1)
+        ln[ln == 0] = 1.0
+        lm = lm / ln[:, None]
+        lid = left["_id"].to_numpy()
+        if int(pdf["bi"].iloc[0]) == int(pdf["bj"].iloc[0]):
+            sims = lm @ lm.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            rid, rsims = lid, sims
+        else:
+            right = pdf[pdf["_side"] == 1]
+            if not len(right):
+                return empty.copy()
+            rm = np.array(list(right["_v"]), dtype=np.float64)
+            rn = np.linalg.norm(rm, axis=1)
+            rn[rn == 0] = 1.0
+            rm = rm / rn[:, None]
+            rid = right["_id"].to_numpy()
+            rsims = lm @ rm.T
+            ii, jj = np.nonzero(rsims >= threshold)
+            sims = rsims
+        if not len(ii):
+            return empty.copy()
+        a_ids, b_ids = lid[ii], rid[jj]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep],
+                             "cos": sims[ii, jj][keep]})
+
+    d = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+        .withColumn("_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks))
+                    .cast("int"))
+    as_a = d.select(
+        "_id", "_v", F.col("_blk").alias("bi"),
+        F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
+        .alias("bj"), F.lit(0).alias("_side"))
+    as_b = d.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.col("_blk") - 1)).alias("bi"),
+        F.col("_blk").alias("bj"), F.lit(1).alias("_side"))
+    # rows with _blk == 0 make sequence(0, -1) -> as_b contributes nothing
+    un = as_a.unionByName(as_b)
+    pairs = un.groupBy("bi", "bj").applyInPandas(score_group, out_schema)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, *, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              n_planes: int = 8, dim: int = 64,
-                             seed: int = 11,
-                             exact: bool = True) -> DataFrame:
+                             seed: int = 11, n_blocks: int = 8,
+                             method: str = "block",
+                             exact: bool | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
 
-    ``exact=True`` verifies ALL pairs via the blocked broadcast matmul
-    (corpus side broadcast — correct baseline; fine up to ~1e6 rows).
-    ``exact=False`` restricts candidates to shared LSH buckets first — the
-    100 TB path (bucket equi-join instead of cross product)."""
-    if exact:
+    ``method``:
+    - ``"block"`` (default) — exact distributed block-matrix join
+      (``block_pair_near_dup``): no driver collect, scale-safe.
+    - ``"broadcast"`` — exact via corpus collect + broadcast matmul; the
+      small-fixture pytest oracle ONLY (driver collect does not scale).
+    - ``"lsh"`` — approximate: shared-LSH-bucket candidates first; the
+      cheapest path when near-miss recall is acceptable.
+    ``exact`` (legacy flag): True -> broadcast, False -> lsh."""
+    if exact is not None:
+        method = "broadcast" if exact else "lsh"
+    if method == "block":
+        return block_pair_near_dup(df, threshold=threshold, id_col=id_col,
+                                   vec_col=vec_col, n_blocks=n_blocks)
+    if method == "broadcast":
         ids, mat = _collect_matrix(df, id_col, vec_col)
         b = df.sparkSession.sparkContext.broadcast((ids, mat))
         schema = "a long, b long, cos double"

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -33,8 +34,10 @@ def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
                    label: str | None = None) -> DataFrame:
     """Encode rows into BIN records: (track_hash, payload binary).
 
-    track id = 32-bit hash of the track attribute (string tracks hash like
-    the reference's trackId dictionary); dtg = epoch seconds int32;
+    track id = crc32 of the UTF-8 track string as int32 — a pinned,
+    documented hash, stable across pandas/python versions (the reference
+    uses value.hashCode, equally a fixed function of the string); dtg =
+    epoch seconds int32;
     lat/lon float32 little-endian. Output column ``bin`` is 16 (or 24 with
     label) bytes per row; downstream concatenation yields the wire format.
     """
@@ -46,9 +49,9 @@ def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
         for pdf in batches:
             if not len(pdf):
                 continue
-            th = pd.util.hash_array(
-                pdf[track].astype(str).to_numpy()).astype(np.int64) \
-                .astype(np.uint32).astype(np.int32)
+            th = pdf[track].astype(str).map(
+                lambda s: zlib.crc32(s.encode("utf-8"))) \
+                .to_numpy(dtype=np.uint32).astype(np.int32)
             secs = (pdf[ts].astype("int64") // 1_000_000_000).astype(np.int32)
             la = pdf[lat].astype(np.float32)
             lo = pdf[lon].astype(np.float32)

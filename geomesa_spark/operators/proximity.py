@@ -38,7 +38,11 @@ def _window_cells(qlon: float, qlat: float, radius_m: float,
     (Envelope.toWorld semantics, KNearestNeighborSearchProcess.scala:
     524-544: windows crossing ±180 split into two covers)."""
     dlat = radius_m / DEG_M
-    coslat = max(math.cos(math.radians(qlat)), 1e-9)
+    # cos at the POLEWARD edge of the window, not the query center:
+    # the cover may over-select, never under-select (matches knn.py's
+    # _window_cells; the center-latitude cos under-covers near the poles)
+    phi_m = min(abs(qlat) + dlat, 89.999)
+    coslat = max(math.cos(math.radians(phi_m)), 1e-9)
     dlon = min(radius_m / (DEG_M * coslat), 360.0)
     y0, y1 = max(qlat - dlat, -90.0), min(qlat + dlat, 90.0)
     spans = []

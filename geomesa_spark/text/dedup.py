@@ -139,9 +139,12 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     r = 2
     bands = k // r
     # the shingle frame feeds three plan branches (signatures + both
-    # verification sides); persist it so tokenization runs once
+    # verification sides); localCheckpoint (eager) runs tokenization once
+    # and, unlike persist(), lets the ContextCleaner reclaim the blocks
+    # when this frame goes out of scope — repeated calls (bench loops)
+    # don't accumulate executor storage for the session lifetime
     sh_base = shingles(df, n=n, text=text).select(
-        F.col(id_col), "shingles").persist()
+        F.col(id_col), "shingles").localCheckpoint()
     sig = _signatures_from_shingles(sh_base, k=k, id_col=id_col, seed=seed)
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -166,22 +169,41 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
             .where(F.col("jaccard") >= threshold))
 
 
+def _simhash_bit_source(b: int) -> tuple[int, int]:
+    """(hash index 1..3, bit position) feeding signature bit ``b``.
+
+    The char-fold hashes are mod 2^31-1 so each supplies only 31 live
+    bits; three multipliers (31/37/41) cover all 64 signature bits with
+    no dead positions (bit 31 of a single 31-bit hash is always zero)."""
+    if b < 31:
+        return 1, b
+    if b < 62:
+        return 2, b - 31
+    return 3, b - 62
+
+
 def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
             out: str = "simhash") -> DataFrame:
     """64-bit SimHash: bit b is set iff sum over tokens of
     (+1 if hash(token) has bit b else -1) > 0. Wide JVM aggregate.
 
-    Token hash = char-fold polynomial hash (two multipliers widen to 64
-    bits) — the same arithmetic runs in the DuckDB oracle, making the
-    near-dup pairs value-checked, not rows-only."""
+    Token hash = char-fold polynomial hash (three multipliers cover the
+    64 signature bits with live positions) — the same arithmetic runs in
+    the DuckDB oracle, making the near-dup pairs value-checked, not
+    rows-only."""
     from geomesa_spark.text.analysis import char_hash_expr
     ex = (with_tokens(df, text)
           .select(F.col(id_col), F.explode("tokens").alias("_t"))
-          .withColumn("_h", char_hash_expr(F.col("_t"), 31))
-          .withColumn("_h2", char_hash_expr(F.col("_t"), 37)))
-    sums = [F.sum(F.when(((F.col("_h") if b < 32 else F.col("_h2"))
-                          .bitwiseAND(F.lit(1 << (b % 32)))) != 0, 1)
-                  .otherwise(-1)).alias(f"s{b}") for b in range(64)]
+          .withColumn("_h1", char_hash_expr(F.col("_t"), 31))
+          .withColumn("_h2", char_hash_expr(F.col("_t"), 37))
+          .withColumn("_h3", char_hash_expr(F.col("_t"), 41)))
+    sums = []
+    for b in range(64):
+        idx, pos = _simhash_bit_source(b)
+        sums.append(
+            F.sum(F.when(F.col(f"_h{idx}")
+                         .bitwiseAND(F.lit(1 << pos)) != 0, 1)
+                  .otherwise(-1)).alias(f"s{b}"))
     agg = ex.groupBy(id_col).agg(*sums)
     sig = None
     for b in range(64):

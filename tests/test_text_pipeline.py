@@ -163,17 +163,29 @@ class TestDedup:
         assert got[1] == got[2]
 
         def py_simhash(text):
+            from geomesa_spark.text.dedup import _simhash_bit_source
             sums = [0] * 64
             for t in _toks(text):
-                h1 = _char_hash(t, 31)
-                h2 = _char_hash(t, 37)
+                hs = {i: _char_hash(t, m)
+                      for i, m in ((1, 31), (2, 37), (3, 41))}
                 for b in range(64):
-                    h = h1 if b < 32 else h2
-                    sums[b] += 1 if (h >> (b % 32)) & 1 else -1
+                    idx, pos = _simhash_bit_source(b)
+                    sums[b] += 1 if (hs[idx] >> pos) & 1 else -1
             v = sum((1 << b) for b in range(64) if sums[b] > 0)
             return _signed64(v)
         assert got[1] == py_simhash("alpha beta gamma")
         assert got[3] == py_simhash("unrelated stuff completely")
+
+    def test_simhash_no_dead_bits(self, spark):
+        # every signature bit position must be derivable as 1: each bit
+        # reads a live position (< 31) of one of the three 31-bit hashes
+        from geomesa_spark.text.dedup import _simhash_bit_source
+        seen = set()
+        for b in range(64):
+            idx, pos = _simhash_bit_source(b)
+            assert 1 <= idx <= 3 and 0 <= pos < 31
+            assert (idx, pos) not in seen
+            seen.add((idx, pos))
 
     def test_simhash_pairs_vs_bruteforce(self, docs, local_docs):
         from geomesa_spark.text.dedup import simhash, simhash_pairs
@@ -252,6 +264,18 @@ class TestSimilarity:
         want = {(int(ids[i]), int(ids[j]))
                 for i, j in zip(ii, jj) if ids[i] < ids[j]}
         assert got == want
+
+    def test_near_dup_block_equals_broadcast(self, spark, emb):
+        # the distributed block-matrix exact path must reproduce the
+        # collect+broadcast baseline bit-for-bit (cos rounded to 6)
+        from geomesa_spark.ml.similarity import embedding_near_dup_pairs
+        blk = {(r["a"], r["b"], r["cos"]) for r in
+               embedding_near_dup_pairs(emb, threshold=0.5, method="block",
+                                        n_blocks=3).collect()}
+        bc = {(r["a"], r["b"], r["cos"]) for r in
+              embedding_near_dup_pairs(emb, threshold=0.5,
+                                       method="broadcast").collect()}
+        assert blk == bc
 
     def test_near_dup_lsh_subset_of_exact(self, spark, emb, local_emb):
         from geomesa_spark.ml.similarity import embedding_near_dup_pairs
