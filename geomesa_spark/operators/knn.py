@@ -60,6 +60,28 @@ def _window_cells(qlon: float, qlat: float, w_m: float, res: int) -> list[int]:
     return [int(c) for c in bbox_cover(x0, y0, x1, y1, res=res, max_cells=1 << 22)]
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Cheap row-count estimate: sum parquet footer counts (driver-side
+    metadata reads, sampled at 64 files) instead of a full table scan.
+    Falls back to ``df.count()`` for non-parquet / unreadable sources."""
+    try:
+        paths = []
+        for f in df.inputFiles():
+            if f.endswith(".parquet"):
+                from urllib.parse import unquote, urlparse
+                u = urlparse(f)
+                if u.scheme in ("", "file"):
+                    paths.append(unquote(u.path))
+        if paths:
+            import pyarrow.parquet as pq
+            sample = paths[:64]
+            n = sum(pq.ParquetFile(p).metadata.num_rows for p in sample)
+            return max(1, int(n * len(paths) / len(sample)))
+    except Exception:
+        pass
+    return df.count()
+
+
 def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
              k: int, *,
              lon: str = "lon", lat: str = "lat",
@@ -73,18 +95,39 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
 
     Returns a DataFrame (query_id, rank, dist_m, <point columns>). The
     result is exact under haversine distance; ties broken by point order.
+
+    Execution: each round scans ONLY the ring of cover cells not yet
+    scanned for that query (the reference's "hole" exclusion on window
+    expansion, KNearestNeighborSearchProcess.scala:222-301) and appends
+    them to a localCheckpoint'ed candidate frame — one eager distributed
+    job per round; the per-round counts, the finished rows, and the final
+    union all read the checkpoint instead of re-executing earlier rounds'
+    joins. Driver-side state stays O(|queries| * cover cells).
     """
     spark = points.sparkSession
     if initial_radius_m is None:
-        n = estimated_count if estimated_count is not None else points.count()
+        n = estimated_count if estimated_count is not None \
+            else _estimate_rows(points)
         world_area_deg2 = 360.0 * 180.0
         density = max(n, 1) / world_area_deg2  # points per deg^2
         r_deg = math.sqrt(k / (math.pi * density))  # Liu/Lim/Ng estimate
-        initial_radius_m = max(1000.0, r_deg * _M_PER_DEG)
+        # 2x overshoot: expected candidates/query grow 4x (still ~4k rows,
+        # trivial) while queries in locally sparse areas finish in one
+        # round instead of paying a whole extra scan round
+        initial_radius_m = max(1000.0, 2.0 * r_deg * _M_PER_DEG)
+
+    has_prefix = "cell_prefix" in points.columns
+    pts = points if has_prefix \
+        else points.withColumn("__pc__", _cell_expr(lon, lat, res))
+    cell_col = "cell_prefix" if has_prefix else "__pc__"
 
     live = {qid: initial_radius_m for (qid, _, _) in queries}
     qpos = {qid: (qlon, qlat) for (qid, qlon, qlat) in queries}
-    done_frames: list[DataFrame] = []
+    scanned: dict[str, set[int]] = {qid: set() for qid in live}
+    cand_acc: DataFrame | None = None  # checkpointed candidates (no w cut)
+    done_rows: list = []  # finished rows: driver-bounded, <= |queries| * k
+    out_schema = None
+    order = [F.col("dist_m")] + [F.col(c) for c in (tiebreak or [])]
 
     for _ in range(max_rounds):
         if not live:
@@ -92,46 +135,64 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
         rows = []
         for qid, w in live.items():
             qlon, qlat = qpos[qid]
-            for c in _window_cells(qlon, qlat, w, res):
-                rows.append((qid, qlon, qlat, w, c))
-        qdf = spark.createDataFrame(
-            rows, "query_id string, qlon double, qlat double, w double, cell long")
-        cand = (points.join(F.broadcast(qdf),
-                            on=points["cell_prefix"] == qdf["cell"], how="inner")
-                if "cell_prefix" in points.columns
-                else points.withColumn(
-                    "__pc__", _cell_expr(lon, lat, res)).join(
-                    F.broadcast(qdf), on=F.col("__pc__") == qdf["cell"],
-                    how="inner").drop("__pc__"))
-        cand = cand.withColumn("dist_m", udf_haversine(
-            F.col(lon), F.col(lat), F.col("qlon"), F.col("qlat")))
-        cand = cand.where(F.col("dist_m") <= F.col("w"))
-        order = [F.col("dist_m")] + [F.col(c) for c in (tiebreak or [])]
-        ranked = cand.withColumn(
-            "rank", F.row_number().over(
-                Window.partitionBy("query_id").orderBy(*order))) \
-            .where(F.col("rank") <= k).drop("cell", "w")
-        counts = {r.query_id: r.n for r in
-                  ranked.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
-        finished = [qid for qid in live if counts.get(qid, 0) >= k]
-        if finished:
-            fin = ranked.where(F.col("query_id").isin(finished))
-            done_frames.append(fin)
-            for qid in finished:
+            ring = [c for c in _window_cells(qlon, qlat, w, res)
+                    if c not in scanned[qid]]
+            scanned[qid].update(ring)
+            rows += [(qid, qlon, qlat, c) for c in ring]
+        if rows:
+            qdf = spark.createDataFrame(
+                rows, "query_id string, qlon double, qlat double, cell long")
+            new_cand = (pts.join(F.broadcast(qdf),
+                                 on=pts[cell_col] == qdf["cell"],
+                                 how="inner")
+                        .drop("cell", *([] if has_prefix else ["__pc__"]))
+                        .withColumn("dist_m", udf_haversine(
+                            F.col(lon), F.col(lat),
+                            F.col("qlon"), F.col("qlat"))))
+            cand_acc = new_cand if cand_acc is None \
+                else cand_acc.unionByName(new_cand)
+        if cand_acc is None:
+            break
+        # job 1 of the round: materialize the ring scan; every later read
+        # (ranking, next round's union) hits the cache, never the join
+        cand_acc = cand_acc.where(
+            F.col("query_id").isin(list(live))).localCheckpoint()
+        wdf = spark.createDataFrame(list(live.items()),
+                                    "query_id string, w double")
+        ranked = (cand_acc.join(F.broadcast(wdf), "query_id")
+                  .where(F.col("dist_m") <= F.col("w"))
+                  .withColumn("rank", F.row_number().over(
+                      Window.partitionBy("query_id").orderBy(*order)))
+                  .where(F.col("rank") <= k).drop("w"))
+        # job 2: ONE collect serves as both the per-query count probe and
+        # the finished-row sink (<= |queries| * k rows by construction —
+        # the reference's client-side KnnWindow state, not a data collect)
+        ranked_rows = ranked.collect()
+        out_schema = out_schema or ranked.schema
+        counts: dict[str, int] = {}
+        for r in ranked_rows:
+            counts[r.query_id] = counts.get(r.query_id, 0) + 1
+        finished = {qid for qid in live if counts.get(qid, 0) >= k}
+        # at max radius with < k in range: fewer than k points exist; emit
+        exhausted = {qid for qid in live if counts.get(qid, 0) < k
+                     and live[qid] >= max_radius_m}
+        emit = finished | exhausted
+        if emit:
+            done_rows += [r for r in ranked_rows if r.query_id in emit]
+            for qid in emit:
                 del live[qid]
-        for qid in list(live):
-            if live[qid] >= max_radius_m:
-                # fewer than k points exist in range: emit what we have
-                done_frames.append(ranked.where(F.col("query_id") == qid))
-                del live[qid]
-            else:
-                live[qid] = min(max_radius_m, live[qid] * 2.0)  # reference growth
-    if not done_frames:
+        for qid in live:
+            # reference growth policy (KnnWindow): jump on an empty
+            # window, otherwise re-estimate from the OBSERVED local
+            # density — w*sqrt(k/m) reaches k at uniform density; the
+            # 1.4 safety factor keeps expected rounds ~1 after the first
+            m = counts.get(qid, 0)
+            grow = 4.0 if m == 0 \
+                else max(1.6, math.sqrt(k / m) * 1.4)
+            live[qid] = min(max_radius_m, live[qid] * grow)
+    if out_schema is None:
         return spark.createDataFrame([], "query_id string, rank int, dist_m double")
-    out = done_frames[0]
-    for f in done_frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return spark.createDataFrame(done_rows, out_schema)
 
 
 def _cell_expr(lon: str, lat: str, res: int):
