@@ -197,13 +197,18 @@ def q_cell_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-pruned bbox scan: cover filter + exact refine."""
-    from geomesa_spark.operators.join import udf_point_cell
+    """Partition-pruned bbox scan: cover filter + exact refine. The cell
+    column is the NATIVE Catalyst bit-op expression (cells/native.py), not
+    a Python UDF — zero Python-worker round-trip on the hot scan path
+    (q_cell_assignment keeps the pandas kernel on purpose: it is the
+    kernel-vs-SQL-oracle cross-check)."""
+    from geomesa_spark.cells import PARTITION_RES
+    from geomesa_spark.cells.native import cell_expr
     from geomesa_spark.plans.planner import prune_by_geometry
     from geomesa_spark.geo import from_wkt
     box = from_wkt("POLYGON((-30 -20, 40 -20, 40 35, -30 35, -30 -20))")
     pts = _events_points(spark, sf_dir) \
-        .withColumn("cell_prefix", udf_point_cell("lon", "lat"))
+        .withColumn("cell_prefix", cell_expr("lon", "lat", PARTITION_RES))
     pruned = prune_by_geometry(pts, box)
     out = pruned.where((F.col("lon") >= -30) & (F.col("lon") <= 40)
                        & (F.col("lat") >= -20) & (F.col("lat") <= 35))
@@ -225,13 +230,14 @@ def q_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geohash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """st_geoHash binning (10-bit = 2-char geohash) with counts."""
-    _ensure_functions(spark)
-    _events_points(spark, sf_dir).createOrReplaceTempView("pts")
-    return spark.sql("""
-        SELECT st_geoHash(st_makePoint(lon, lat), 10) AS gh,
-               count(*) AS n
-        FROM pts GROUP BY 1""")
+    """st_geoHash binning (10-bit = 2-char geohash) with counts — the
+    NATIVE Catalyst bit-interleave expression (geohash_expr), pure
+    whole-stage codegen; the pandas-UDF st_geoHash surface is pinned to
+    the same kernel in tests/test_st_functions.py."""
+    from geomesa_spark.geo.geohash import geohash_expr
+    pts = _events_points(spark, sf_dir)
+    return (pts.groupBy(geohash_expr("lon", "lat", 10).alias("gh"))
+            .agg(F.count("*").alias("n")))
 
 
 def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,6 +360,39 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy(F.col("k.epoch").alias("epoch"),
                         F.col("k.z3").alias("z3"))
                .agg(F.count("*").alias("n")))
+        out.schema  # force analysis while UTC is active
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_xz3_bbox_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ3 spatio-temporal range query over EXTENDED geometries: each
+    event becomes a 1.0 x 0.5 degree box living for 4 hours; the query is
+    a bbox + one-week window crossing an epoch-week boundary. Prune =
+    sargable (epoch, xz3) range predicate; refine = exact bbox-intersect
+    + interval-overlap (cover may over-select, never under-select)."""
+    from geomesa_spark.operators.xz3_query import with_xz3, xz3_query
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "ts")
+        pts = ev.join(_events_points(spark, sf_dir)
+                      .select("event_id", "lon", "lat"), "event_id")
+        boxes = pts.select(
+            "event_id",
+            (F.col("lon") - 0.5).alias("xmin"),
+            (F.col("lat") - 0.25).alias("ymin"),
+            (F.col("lon") + 0.5).alias("xmax"),
+            (F.col("lat") + 0.25).alias("ymax"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("t1"))
+        indexed = with_xz3(boxes)
+        t0_s = 1704672000.0  # 2024-01-08T00:00:00Z
+        t1_s = 1705276800.0  # 2024-01-15T00:00:00Z
+        out = xz3_query(indexed, (-30.0, -20.0, 40.0, 35.0), t0_s, t1_s)
+        out = out.select("event_id")
         out.schema  # force analysis while UTC is active
         return out
     finally:
@@ -625,6 +664,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "tube_select": q_tube_select,
         "z3_heatmap": q_z3_heatmap,
+        "xz3_bbox_time": q_xz3_bbox_time,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -959,6 +999,17 @@ def oracle_sql() -> dict[str, str]:
                 f"(((tb >> {i}) & 1) << {3 * i + 2})" for i in range(4))})
                    AS z3, count(*) AS n
             FROM c GROUP BY 1, 2 ORDER BY epoch, z3""",
+        # XZ3 prune+refine must equal the plain bbox-intersect +
+        # interval-overlap predicate (events as 1.0 x 0.5 deg boxes alive
+        # for 4 hours; window 2024-01-08..15 UTC crosses a week boundary)
+        "xz3_bbox_time": f"""
+            SELECT e.event_id
+            FROM events e JOIN {pts} d ON e.event_id = d.event_id
+            WHERE d.lon - 0.5 <= 40.0 AND d.lon + 0.5 >= -30.0
+              AND d.lat - 0.25 <= 35.0 AND d.lat + 0.25 >= -20.0
+              AND epoch(e.ts) <= 1705276800.0
+              AND epoch(e.ts + INTERVAL 4 HOUR) >= 1704672000.0
+            ORDER BY e.event_id""",
         "text_quality": f"""
             WITH u AS (
               SELECT doc_id, nc, len(toks) AS nt, list_distinct(toks) AS dt,

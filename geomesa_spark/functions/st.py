@@ -99,9 +99,10 @@ def _udf(sig: str, ret, fn, *, skip_null: bool = True):
                 continue
             try:
                 r = fn(*args)
-            except NotImplementedError:
-                raise
-            except Exception:
+            except (ValueError, ZeroDivisionError):
+                # expected parse/degenerate-input cases null out (the
+                # reference's nullableUDF contract); anything else is a
+                # kernel bug and must SURFACE, not masquerade as null
                 r = None
             if ret == "g":
                 r = gio.to_wkb(r) if r is not None else None
@@ -115,6 +116,81 @@ def _udf(sig: str, ret, fn, *, skip_null: bool = True):
 
 
 # ------------------------------------------------- vectorized fast paths
+
+# DE-9IM predicates with a point-location fast path when one argument is
+# constant within the batch (a folded literal region — the common
+# ``WHERE st_contains(<wkt literal>, geom)`` shape). Maps predicate ->
+# (accepts(loc) for the directional case, which side must be the literal):
+# loc codes from locate_points_in_geometry: 1 interior, 0 boundary, -1 ext.
+_PRED_LITERAL_FIRST = {   # pred(literal_geom, point_col)
+    "st_contains": lambda loc: loc == 1,
+    "st_covers": lambda loc: loc >= 0,
+}
+_PRED_LITERAL_SECOND = {  # pred(point_col, literal_geom)
+    "st_within": lambda loc: loc == 1,
+}
+_PRED_SYMMETRIC = {       # either side literal
+    "st_intersects": lambda loc: loc >= 0,
+    "st_disjoint": lambda loc: loc == -1,
+    "st_touches": lambda loc: loc == 0,
+}
+
+
+def _const_wkb(series: pd.Series):
+    """The single distinct non-null WKB blob of a batch, or None."""
+    vals = {bytes(v) for v in series if v is not None}
+    return vals.pop() if len(vals) == 1 else None
+
+
+def _fast_predicate(name: str, a: pd.Series, b: pd.Series):
+    """Vectorized evaluation when one side is batch-constant and the other
+    side decodes as plain points; returns None when inapplicable (caller
+    falls back to the per-row kernel). Exactness: identical point-location
+    arithmetic to the join refine (operators/join.py), which the join-vs-
+    cartesian oracles already pin down."""
+    from geomesa_spark.operators.join import locate_points_in_geometry
+
+    for lit_side, col in (("a", b), ("b", a)):
+        accepts = _PRED_SYMMETRIC.get(name) or (
+            _PRED_LITERAL_FIRST.get(name) if lit_side == "a"
+            else _PRED_LITERAL_SECOND.get(name))
+        if accepts is None:
+            continue
+        blob = _const_wkb(a if lit_side == "a" else b)
+        if blob is None:
+            continue
+        vals = list(col)
+        x, y = gio.points_from_wkb(vals)
+        null = np.array([v is None for v in vals])
+        if np.any(np.isnan(x) & ~null):  # non-point rows: fall back
+            continue
+        geom = gio.from_wkb(blob)
+        loc = locate_points_in_geometry(x, y, geom)
+        res = accepts(loc)
+        out = pd.Series(res, dtype=object)
+        out[null | a.isna().to_numpy() | b.isna().to_numpy()] = None
+        return out
+    return None
+
+
+def _predicate_udf(name: str, scalar_fn):
+    def kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+        fast = _fast_predicate(name, a, b)
+        if fast is not None:
+            return fast
+        ga, gb = _parse_batch(a), _parse_batch(b)
+        out = []
+        for x, y in zip(ga, gb):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            try:
+                out.append(scalar_fn(x, y))
+            except (ValueError, ZeroDivisionError):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+    return pandas_udf(BooleanType())(kernel)
+
 
 def _st_makepoint_udf():
     @pandas_udf(BinaryType())
@@ -398,7 +474,7 @@ def build_udfs() -> dict:
                      ("st_equals", gp.equals), ("st_intersects", gp.intersects),
                      ("st_overlaps", gp.overlaps), ("st_touches", gp.touches),
                      ("st_within", gp.within)]:
-        u[name] = _udf("gg", BO, fn)
+        u[name] = _predicate_udf(name, fn)
     u["st_relate"] = _udf("gg", S, gp.relate)
     u["st_relateBool"] = _udf("ggv", BO, gp.relate_bool)
     u["st_area"] = _udf("g", D, gm.area)

@@ -60,6 +60,44 @@ def decode_point(gh: str) -> tuple[float, float]:
     return (x0 + x1) / 2, (y0 + y1) / 2
 
 
+def geohash_expr(lon, lat, prec_bits: int):
+    """Geohash as a NATIVE Catalyst expression (pure bit math + base-32
+    lookup, whole-stage codegen — zero Python in the hot path). Bit-exact
+    with ``encode``: floor-binning into 2^n bins with upper clamp equals
+    the per-bit bisection (NormalizedDimension.scala:56-72 semantics).
+
+    ``lon``/``lat``: Column or column name; returns a string Column of
+    floor(prec_bits/5) base-32 characters.
+    """
+    from pyspark.sql import Column, functions as F
+
+    lon = lon if isinstance(lon, Column) else F.col(lon)
+    lat = lat if isinstance(lat, Column) else F.col(lat)
+    nchars = max(1, prec_bits // 5)
+    bits = nchars * 5
+    nlon = (bits + 1) // 2  # even bit positions (0 = MSB) are longitude
+    nlat = bits // 2
+    xb = F.least(F.lit((1 << nlon) - 1),
+                 F.floor((lon + 180.0) / 360.0 * (1 << nlon))).cast("long")
+    yb = F.least(F.lit((1 << nlat) - 1),
+                 F.floor((lat + 90.0) / 180.0 * (1 << nlat))).cast("long")
+    val = F.lit(0).cast("long")
+    for i in range(nlon):  # lon bit i (MSB-first) -> output bit bits-1-2i
+        val = val.bitwiseOR(
+            F.shiftrightunsigned(xb, nlon - 1 - i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (bits - 1 - 2 * i)))
+    for j in range(nlat):  # lat bit j -> output bit bits-2-2j
+        val = val.bitwiseOR(
+            F.shiftrightunsigned(yb, nlat - 1 - j).bitwiseAND(F.lit(1))
+            * F.lit(1 << (bits - 2 - 2 * j)))
+    chars = [
+        F.substr(F.lit(_BASE32),
+                 (F.shiftrightunsigned(val, 5 * (nchars - 1 - c))
+                  .bitwiseAND(F.lit(31)) + 1).cast("int"), F.lit(1))
+        for c in range(nchars)]
+    return F.concat(*chars)
+
+
 def encode_vec(lon, lat, prec_bits: int) -> list[str]:
     """Batch encode (per-row python on short strings; fine for output cols)."""
     lon = np.asarray(lon, dtype=np.float64)

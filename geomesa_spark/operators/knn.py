@@ -142,13 +142,8 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
         if rows:
             qdf = spark.createDataFrame(
                 rows, "query_id string, qlon double, qlat double, cell long")
-            new_cand = (pts.join(F.broadcast(qdf),
-                                 on=pts[cell_col] == qdf["cell"],
-                                 how="inner")
-                        .drop("cell", *([] if has_prefix else ["__pc__"]))
-                        .withColumn("dist_m", udf_haversine(
-                            F.col(lon), F.col(lat),
-                            F.col("qlon"), F.col("qlat"))))
+            new_cand = _round_candidates(pts, qdf, lon, lat, cell_col,
+                                         has_prefix)
             cand_acc = new_cand if cand_acc is None \
                 else cand_acc.unionByName(new_cand)
         if cand_acc is None:
@@ -193,6 +188,18 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
     if out_schema is None:
         return spark.createDataFrame([], "query_id string, rank int, dist_m double")
     return spark.createDataFrame(done_rows, out_schema)
+
+
+def _round_candidates(pts: DataFrame, qdf: DataFrame, lon: str, lat: str,
+                      cell_col: str, has_prefix: bool) -> DataFrame:
+    """One round's ring-scan: broadcast the (query, cell) frame against
+    the big point side — the big side never shuffles; the cell column is
+    the native Catalyst expression when the table lacks cell_prefix."""
+    return (pts.join(F.broadcast(qdf), on=pts[cell_col] == qdf["cell"],
+                     how="inner")
+            .drop("cell", *([] if has_prefix else ["__pc__"]))
+            .withColumn("dist_m", udf_haversine(
+                F.col(lon), F.col(lat), F.col("qlon"), F.col("qlat"))))
 
 
 def _cell_expr(lon: str, lat: str, res: int):

@@ -36,9 +36,24 @@ class TestJoinPlans:
         assert "Join" in plan
 
     def test_knn_candidates_use_native_cells(self, spark, entry):
-        plan = _plan(entry.q_knn(spark, SF))
-        # the candidate cell filter is native bit math, not a Python UDF
+        # q_knn's rounds materialize eagerly (localCheckpoint per ring
+        # scan), so assert on the per-round candidate plan directly: the
+        # cell column must be native bit math and the query frame must
+        # broadcast against the unshuffled point side
+        from geomesa_spark.cells import PARTITION_RES
+        from geomesa_spark.operators.knn import (_cell_expr,
+                                                 _round_candidates)
+        pts = entry._events_points(spark, SF).withColumn(
+            "__pc__", _cell_expr("lon", "lat", PARTITION_RES))
+        qdf = spark.createDataFrame(
+            [("q", 0.0, 0.0, 0)],
+            "query_id string, qlon double, qlat double, cell long")
+        plan = _plan(_round_candidates(pts, qdf, "lon", "lat", "__pc__",
+                                       has_prefix=False))
         assert "shiftleft" in plan or "shiftright" in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        join_part = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in join_part
 
 
 class TestCodegen:

@@ -190,3 +190,82 @@ def test_st_convexhull(spark):
                   "'MULTIPOINT((0 0), (2 2))')))")
     assert ln.startswith("LINESTRING")
     assert q(spark, "select st_convexHull(null)") is None
+
+
+def test_geohash_expr_matches_kernel(spark):
+    """Native Catalyst geohash == the per-row bisection encoder, including
+    domain corners and upper-boundary clamping."""
+    import numpy as np
+    from geomesa_spark.geo.geohash import encode, geohash_expr
+    rng = np.random.default_rng(3)
+    rows = [(float(x), float(y))
+            for x, y in zip(rng.uniform(-180, 180, 300),
+                            rng.uniform(-90, 90, 300))]
+    rows += [(-180.0, -90.0), (180.0, 90.0), (0.0, 0.0),
+             (179.9999, 89.9999), (-77.0091, 38.8899)]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for bits in (10, 25, 35):
+        got = [r["gh"] for r in
+               df.select(geohash_expr("lon", "lat", bits).alias("gh"))
+               .collect()]
+        want = [encode(x, y, bits) for (x, y) in rows]
+        assert got == want, bits
+
+
+def test_predicate_literal_fast_path_matches_scalar(spark):
+    """A batch-constant geometry argument routes the DE-9IM predicates
+    through the vectorized point-location refine; results must equal the
+    per-row scalar kernels on interior/boundary/corner/exterior points."""
+    from geomesa_spark.functions.st import _fast_predicate
+    from geomesa_spark.geo import io as gio, predicates as gp
+    import pandas as pd
+
+    poly = gio.from_wkt(
+        "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    blob = gio.to_wkb(poly)
+    pts = [(5.0, 2.0),    # interior
+           (0.0, 5.0),    # edge
+           (0.0, 0.0),    # corner
+           (5.0, 5.0),    # inside the hole -> exterior
+           (4.0, 5.0),    # hole boundary
+           (20.0, 20.0),  # exterior
+           (10.0, 10.0)]  # far corner
+    pt_wkbs = [gio.points_to_wkb([x], [y])[0] for x, y in pts]
+    a = pd.Series([blob] * len(pts) + [blob, None])
+    b = pd.Series(pt_wkbs + [None, pt_wkbs[0]])
+    scalar = {"st_contains": gp.contains, "st_covers": gp.covers,
+              "st_intersects": gp.intersects, "st_disjoint": gp.disjoint,
+              "st_touches": gp.touches}
+    for name, fn in scalar.items():
+        fast = _fast_predicate(name, a, b)
+        assert fast is not None, name
+        for i, (x, y) in enumerate(pts):
+            want = fn(poly, gio.from_wkb(bytes(pt_wkbs[i])))
+            assert fast[i] == want, (name, pts[i])
+        assert fast[len(pts)] is None and fast[len(pts) + 1] is None
+    # directional: st_within(point_col, literal)
+    fast = _fast_predicate("st_within", b, a)
+    for i, (x, y) in enumerate(pts):
+        want = gp.within(gio.from_wkb(bytes(pt_wkbs[i])), poly)
+        assert fast[i] == want, ("st_within", pts[i])
+
+
+def test_predicate_fast_path_sql_surface(spark):
+    """End-to-end: the SQL form with a literal polygon (the fast-path
+    trigger) returns the same rows as the Python scalar oracle."""
+    from geomesa_spark.geo import io as gio, predicates as gp
+    rows = [(i, float(x), float(y))
+            for i, (x, y) in enumerate(
+                [(2.0, 2.0), (0.0, 0.0), (10.0, 5.0), (11.0, 5.0),
+                 (5.0, 0.0), (-1.0, -1.0)])]
+    spark.createDataFrame(rows, "id int, x double, y double") \
+        .createOrReplaceTempView("fp_pts")
+    box = "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"
+    got = {r["id"] for r in spark.sql(
+        f"SELECT id FROM fp_pts "
+        f"WHERE st_contains(st_geomFromWKT('{box}'), st_makePoint(x, y))"
+    ).collect()}
+    poly = gio.from_wkt(box)
+    want = {i for i, x, y in rows
+            if gp.contains(poly, gio.from_wkt(f"POINT({x} {y})"))}
+    assert got == want
