@@ -366,6 +366,35 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_mixed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-filter planning (FilterHelper/FilterSplitter semantics): an
+    OR of two conjunctions mixing bbox, time interval, and attribute
+    predicates. The planner composes the cell covers (AND -> intersection,
+    OR -> union), prepends the sargable prune, and re-applies the exact
+    filter — value-checked against the plain-SQL predicate."""
+    from geomesa_spark.cells.native import cell_expr
+    from geomesa_spark.plans.filters import (Attr, Time, and_, bbox, or_,
+                                             plan_query)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+            .select("event_id", "ts")
+        pts = ev.join(_events_points(spark, sf_dir), "event_id") \
+            .withColumn("cell_prefix", cell_expr("lon", "lat"))
+        f = or_(
+            and_(bbox(-30.0, -20.0, 40.0, 35.0),
+                 Time("2024-01-08T00:00:00", "2024-01-15T00:00:00"),
+                 Attr("event_type", "=", "click")),
+            and_(bbox(100.0, 0.0, 140.0, 50.0, "contains"),
+                 Attr("value", ">", 300.0)))
+        out = plan_query(pts, f).select("event_id")
+        out.schema  # force analysis while UTC is active
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_xz3_bbox_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XZ3 spatio-temporal range query over EXTENDED geometries: each
     event becomes a 1.0 x 0.5 degree box living for 4 hours; the query is
@@ -665,6 +694,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tube_select": q_tube_select,
         "z3_heatmap": q_z3_heatmap,
         "xz3_bbox_time": q_xz3_bbox_time,
+        "mixed_filter": q_mixed_filter,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1009,6 +1039,20 @@ def oracle_sql() -> dict[str, str]:
               AND d.lat - 0.25 <= 35.0 AND d.lat + 0.25 >= -20.0
               AND epoch(e.ts) <= 1705276800.0
               AND epoch(e.ts + INTERVAL 4 HOUR) >= 1704672000.0
+            ORDER BY e.event_id""",
+        # mixed AND/OR of bbox + interval + attribute == plain predicate
+        # (bbox "intersects" is boundary-inclusive, "contains" strict)
+        "mixed_filter": f"""
+            SELECT e.event_id
+            FROM events e JOIN {pts} d ON e.event_id = d.event_id
+            WHERE (d.lon >= -30.0 AND d.lon <= 40.0
+                   AND d.lat >= -20.0 AND d.lat <= 35.0
+                   AND epoch(e.ts) >= 1704672000.0
+                   AND epoch(e.ts) <= 1705276800.0
+                   AND e.event_type = 'click')
+               OR (d.lon > 100.0 AND d.lon < 140.0
+                   AND d.lat > 0.0 AND d.lat < 50.0
+                   AND e.value > 300.0)
             ORDER BY e.event_id""",
         "text_quality": f"""
             WITH u AS (
