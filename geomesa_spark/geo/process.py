@@ -283,22 +283,23 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
             return merged[0] if len(merged) == 1 else MultiLineString(merged)
         kept = [Point(*p) for p in ipts]
         return kept[0] if len(kept) == 1 else MultiPoint(kept)
-    # polygon vs polygon
+    # polygon vs polygon: convex hole-free clipper -> Sutherland-Hodgman
+    # fast path; anything else (concave x concave, holes, multi-part) ->
+    # the general boundary-walk overlay (geo/overlay.py)
     pa = [p for p in flatten(a) if isinstance(p, Polygon)]
     pb = [p for p in flatten(b) if isinstance(p, Polygon)]
-    out: list[Polygon] = []
-    for qa in pa:
-        for qb in pb:
-            if qb.holes == [] and _is_convex(qb.shell):
-                r = clip_polygon_convex(qa, qb)
-            elif qa.holes == [] and _is_convex(qa.shell):
-                r = clip_polygon_convex(qb, qa)
-            else:
-                raise NotImplementedError(
-                    "polygon∩polygon requires one convex hole-free side in this build")
-            if r is not None and not r.is_empty():
-                out.append(r)
-    return out[0] if len(out) == 1 else MultiPolygon(out)
+    simple = (len(pa) == 1 and len(pb) == 1
+              and not pa[0].holes and not pb[0].holes)
+    if simple and _is_convex(pb[0].shell):
+        r = clip_polygon_convex(pa[0], pb[0])
+        return r if r is not None else GeometryCollection([])
+    if simple and _is_convex(pa[0].shell):
+        r = clip_polygon_convex(pb[0], pa[0])
+        return r if r is not None else GeometryCollection([])
+    from geomesa_spark.geo.overlay import polygon_intersection
+    ga = pa[0] if len(pa) == 1 else MultiPolygon(pa)
+    gb = pb[0] if len(pb) == 1 else MultiPolygon(pb)
+    return polygon_intersection(ga, gb)
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry:
@@ -324,9 +325,16 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
             return GeometryCollection([])
         merged = _merge_lines(pieces)
         return merged[0] if len(merged) == 1 else MultiLineString(merged)
+    if b.dimension() < 2:
+        return a  # removing a lower-dimensional set leaves the area as-is
     if covered_by(a, b):
         return GeometryCollection([])
-    raise NotImplementedError("partial polygon difference not supported in this build")
+    from geomesa_spark.geo.overlay import polygon_difference
+    pa = [p for p in flatten(a) if isinstance(p, Polygon)]
+    pb = [p for p in flatten(b) if isinstance(p, Polygon)]
+    ga = pa[0] if len(pa) == 1 else MultiPolygon(pa)
+    gb = pb[0] if len(pb) == 1 else MultiPolygon(pb)
+    return polygon_difference(ga, gb)
 
 
 def _subsegments(s1, s2, lines_b) -> list[tuple[tuple, tuple]]:
