@@ -196,16 +196,104 @@ _R_MAJOR = 6378137.0
 
 
 def transform(g: Geometry, from_crs: str, to_crs: str) -> Geometry:
+    """CRS reprojection (GeometricDistanceFunctions.scala:30-43 surface).
+
+    Supported pairs: EPSG:4326 <-> EPSG:3857 (spherical web mercator) and
+    EPSG:4326 <-> any WGS84 UTM zone (EPSG:326xx north / 327xx south,
+    Krueger-series transverse Mercator, ~1 mm in-zone accuracy). Chains
+    through 4326 for any supported-to-supported pair."""
     f = from_crs.upper().replace("EPSG:", "")
     t = to_crs.upper().replace("EPSG:", "")
     if f == t:
         return g
-    if (f, t) == ("4326", "3857"):
-        return _map_coords(g, _to_mercator)
-    if (f, t) == ("3857", "4326"):
+    return _from_4326(_to_4326(g, f, from_crs), t, to_crs)
+
+
+def _to_4326(g: Geometry, code: str, label: str) -> Geometry:
+    if code == "4326":
+        return g
+    if code == "3857":
         return _map_coords(g, _from_mercator)
+    zone = _utm_zone(code)
+    if zone is not None:
+        return _map_coords(g, lambda c: _utm_inverse(c, *zone))
     raise NotImplementedError(
-        f"st_transform supports EPSG:4326<->EPSG:3857 in this build; got {from_crs}->{to_crs}")
+        f"st_transform supports EPSG:4326, EPSG:3857, and WGS84 UTM "
+        f"zones (EPSG:326xx/327xx); got {label}")
+
+
+def _from_4326(g: Geometry, code: str, label: str) -> Geometry:
+    if code == "4326":
+        return g
+    if code == "3857":
+        return _map_coords(g, _to_mercator)
+    zone = _utm_zone(code)
+    if zone is not None:
+        return _map_coords(g, lambda c: _utm_forward(c, *zone))
+    raise NotImplementedError(
+        f"st_transform supports EPSG:4326, EPSG:3857, and WGS84 UTM "
+        f"zones (EPSG:326xx/327xx); got {label}")
+
+
+def _utm_zone(code: str) -> tuple[int, bool] | None:
+    """(zone, south) for EPSG:326xx / 327xx WGS84 UTM codes."""
+    if len(code) == 5 and code[:3] in ("326", "327"):
+        z = int(code[3:])
+        if 1 <= z <= 60:
+            return z, code[:3] == "327"
+    return None
+
+
+# WGS84 transverse Mercator via the Krueger flattening series (order n^3,
+# ~1 mm in-zone) — standard published formulas, re-derived constants.
+_WGS_A = 6378137.0
+_WGS_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_N = _WGS_F / (2.0 - _WGS_F)
+_A_BAR = _WGS_A / (1 + _N) * (1 + _N ** 2 / 4 + _N ** 4 / 64)
+_ALPHA = (_N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16,
+          13 * _N ** 2 / 48 - 3 * _N ** 3 / 5,
+          61 * _N ** 3 / 240)
+_BETA = (_N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96,
+         _N ** 2 / 48 + _N ** 3 / 15,
+         17 * _N ** 3 / 480)
+_DELTA = (2 * _N - 2 * _N ** 2 / 3 - 2 * _N ** 3,
+          7 * _N ** 2 / 3 - 8 * _N ** 3 / 5,
+          56 * _N ** 3 / 15)
+
+
+def _utm_forward(c: np.ndarray, zone: int, south: bool) -> np.ndarray:
+    lon0 = math.radians(-183.0 + 6.0 * zone)
+    lam = np.radians(c[:, 0]) - lon0
+    phi = np.radians(np.clip(c[:, 1], -89.9999, 89.9999))
+    e2n = 2 * math.sqrt(_N) / (1 + _N)
+    t = np.sinh(np.arctanh(np.sin(phi))
+                - e2n * np.arctanh(e2n * np.sin(phi)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    easting = 500000.0 + _UTM_K0 * _A_BAR * x
+    northing = _UTM_K0 * _A_BAR * y + (10000000.0 if south else 0.0)
+    return np.column_stack([easting, northing])
+
+
+def _utm_inverse(c: np.ndarray, zone: int, south: bool) -> np.ndarray:
+    lon0 = math.radians(-183.0 + 6.0 * zone)
+    x = (c[:, 0] - 500000.0) / (_UTM_K0 * _A_BAR)
+    y = (c[:, 1] - (10000000.0 if south else 0.0)) / (_UTM_K0 * _A_BAR)
+    xi, eta = y.copy(), x.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi -= b * np.sin(2 * j * y) * np.cosh(2 * j * x)
+        eta -= b * np.cos(2 * j * y) * np.sinh(2 * j * x)
+    chi = np.arcsin(np.sin(xi) / np.cosh(eta))
+    phi = chi.copy()
+    for j, d in enumerate(_DELTA, start=1):
+        phi += d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta), np.cos(xi))
+    return np.column_stack([np.degrees(lam + lon0), np.degrees(phi)])
 
 
 def _to_mercator(c: np.ndarray) -> np.ndarray:

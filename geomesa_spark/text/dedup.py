@@ -63,14 +63,30 @@ def shingles(df: DataFrame, *, n: int = 3, text: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text: str = "text",
-                        max_df: int | None = None) -> DataFrame:
-    """Exact all-pairs Jaccard over word n-gram shingle sets.
+                        max_df: int | None = 1000) -> DataFrame:
+    """EXACT all-pairs Jaccard over word n-gram shingle sets, with the
+    stop-shingle skew guard ON by default.
 
     jaccard(a,b) = |A∩B| / (|A| + |B| - |A∩B|), pairs with a < b and
-    jaccard >= threshold. ``max_df`` (optional) drops shingles occurring in
-    more than max_df documents before the self-join — a recall-safe
-    optimization only when threshold filtering tolerates it; default None
-    keeps the result exact."""
+    jaccard >= threshold.
+
+    ``max_df`` caps the self-join: a shingle shared by k documents makes
+    k^2 join rows, so one stop-shingle ("in the of") turns the equi-join
+    quadratic at scale. The guarded path stays EXACT via decomposition:
+
+    - hot shingles (df > max_df) leave the join; there are at most
+      total_instances / max_df of them, so the distinct hot set is tiny
+      and broadcastable;
+    - every document's hot-shingle set rides along as a small array, and
+      each candidate pair's common count = kept-join count + size of the
+      hot-array intersection — bit-identical to the unguarded count;
+    - pairs sharing ONLY hot shingles never become kept-join candidates,
+      but such a pair with jaccard >= t forces BOTH docs to be more than
+      t/(1+t) hot by distinct-shingle fraction (common <= hot_a and
+      common >= t*(na+nb)/(1+t) >= t*na/(1+t)); those boilerplate docs
+      form a small compensation set that all-pairs verifies exactly.
+
+    ``max_df=None`` disables the guard (the plain hashed-shingle join)."""
     sh = shingles(df, n=n, text=text).select(
         F.col(id_col).alias("_id"), "shingles",
         F.size("shingles").alias("_n"))
@@ -80,19 +96,54 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
         "_id", "_n",
         F.explode(F.transform("shingles",
                               lambda s: F.xxhash64(s))).alias("_s"))
-    if max_df is not None:
-        freq = ex.groupBy("_s").agg(F.count("*").alias("_df")) \
-            .where(F.col("_df") <= max_df)
-        ex = ex.join(F.broadcast(freq.select("_s")), "_s")
-    a = ex.select(F.col("_id").alias("a"), F.col("_n").alias("na"), "_s")
-    b = ex.select(F.col("_id").alias("b"), F.col("_n").alias("nb"), "_s")
-    pairs = (a.join(b, "_s")
-             .where(F.col("a") < F.col("b"))
-             .groupBy("a", "b", "na", "nb")
-             .agg(F.count("*").alias("common")))
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+    if max_df is None:
+        a = ex.select(F.col("_id").alias("a"), F.col("_n").alias("na"), "_s")
+        b = ex.select(F.col("_id").alias("b"), F.col("_n").alias("nb"), "_s")
+        pairs = (a.join(b, "_s")
+                 .where(F.col("a") < F.col("b"))
+                 .groupBy("a", "b", "na", "nb")
+                 .agg(F.count("*").alias("common")))
+        return (pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+
+    freq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
+    hot = freq.where(F.col("_df") > max_df).select("_s")
+    hot_arr = (ex.join(F.broadcast(hot), "_s")
+               .groupBy("_id").agg(F.collect_set("_s").alias("_hot")))
+    kept = ex.join(F.broadcast(hot), "_s", "left_anti")
+    a = kept.select(F.col("_id").alias("a"), F.col("_n").alias("na"), "_s")
+    b = kept.select(F.col("_id").alias("b"), F.col("_n").alias("nb"), "_s")
+    cand = (a.join(b, "_s")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count("*").alias("_ck")))
+    ha = hot_arr.select(F.col("_id").alias("a"), F.col("_hot").alias("_ha"))
+    hb = hot_arr.select(F.col("_id").alias("b"), F.col("_hot").alias("_hb"))
+    main = (cand.join(ha, "a", "left").join(hb, "b", "left")
+            .withColumn("common", F.col("_ck") + F.when(
+                F.col("_ha").isNull() | F.col("_hb").isNull(), F.lit(0))
+                .otherwise(F.size(F.array_intersect("_ha", "_hb"))))
+            .select("a", "b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+    # compensation: boilerplate docs (> t/(1+t) hot by distinct shingles)
+    frac = threshold / (1.0 + threshold)
+    hot_docs = (hot_arr.withColumnRenamed("_id", "_hid")
+                .join(sh, F.col("_hid") == F.col("_id"))
+                .where(F.size("_hot") > frac * F.col("_n"))
+                .select("_id", "shingles", "_n"))
+    ca = hot_docs.select(F.col("_id").alias("a"),
+                         F.col("shingles").alias("_sa"),
+                         F.col("_n").alias("na"))
+    cb = hot_docs.select(F.col("_id").alias("b"),
+                         F.col("shingles").alias("_sb"),
+                         F.col("_n").alias("nb"))
+    common = F.size(F.array_intersect("_sa", "_sb"))
+    comp = (ca.join(cb, F.col("a") < F.col("b"))
+            .withColumn("common", common)
+            .select("a", "b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+    return main.unionByName(comp).dropDuplicates(["a", "b"])
 
 
 def _minhash_coeffs(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:

@@ -198,3 +198,84 @@ def test_intersection_difference():
     assert M.length(ld) == 10.0
     pd = PR.difference(from_wkt("POINT(5 5)"), from_wkt(BOX))
     assert pd.is_empty() or pd.typ == "GeometryCollection"
+
+
+class TestUTMTransform:
+    """st_transform general CRS support: WGS84 UTM zones via the Krueger
+    series, cross-validated against an independent Snyder-series
+    implementation, plus round-trip and axis invariants."""
+
+    def _snyder(self, lon, lat, zone):
+        import math
+        a = 6378137.0
+        f = 1 / 298.257223563
+        k0 = 0.9996
+        e2 = f * (2 - f)
+        ep2 = e2 / (1 - e2)
+        lon0 = math.radians(-183 + 6 * zone)
+        phi, lam = math.radians(lat), math.radians(lon)
+        n = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+        t = math.tan(phi) ** 2
+        c = ep2 * math.cos(phi) ** 2
+        aa = (lam - lon0) * math.cos(phi)
+        e4, e6 = e2 * e2, e2 ** 3
+        m = a * ((1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024)
+                 * math.sin(2 * phi)
+                 + (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi)
+                 - (35 * e6 / 3072) * math.sin(6 * phi))
+        x = k0 * n * (aa + (1 - t + c) * aa ** 3 / 6
+                      + (5 - 18 * t + t * t + 72 * c - 58 * ep2)
+                      * aa ** 5 / 120) + 500000
+        y = k0 * (m + n * math.tan(phi)
+                  * (aa * aa / 2 + (5 - t + 9 * c + 4 * c * c)
+                     * aa ** 4 / 24
+                     + (61 - 58 * t + t * t + 600 * c - 330 * ep2)
+                     * aa ** 6 / 720))
+        return x, y
+
+    def test_forward_matches_independent_series(self):
+        import numpy as np
+        from geomesa_spark.geo.process import _utm_forward
+        rng = np.random.default_rng(4)
+        for _ in range(100):
+            lon = rng.uniform(6.2, 11.8)
+            lat = rng.uniform(-80, 84)
+            k = _utm_forward(np.array([[lon, lat]]), 32, False)[0]
+            s = self._snyder(lon, lat, 32)
+            assert abs(k[0] - s[0]) < 0.01 and abs(k[1] - s[1]) < 0.01
+
+    def test_roundtrip_and_invariants(self):
+        import numpy as np
+        from geomesa_spark.geo.process import _utm_forward, _utm_inverse
+        rng = np.random.default_rng(2)
+        c = np.column_stack([rng.uniform(6, 12, 1000),
+                             rng.uniform(-80, 84, 1000)])
+        back = _utm_inverse(_utm_forward(c, 32, False), 32, False)
+        assert np.abs(back - c).max() < 1e-8  # ~1 mm
+        cm = _utm_forward(np.array([[9.0, 45.0]]), 32, False)
+        assert abs(cm[0, 0] - 500000.0) < 1e-6  # central meridian
+        eq = _utm_forward(np.array([[10.0, 0.0]]), 32, False)
+        assert abs(eq[0, 1]) < 1e-6  # equator, north zone
+        s = _utm_forward(np.array([[10.0, -0.001]]), 32, True)
+        assert s[0, 1] < 10000000.0  # south false northing
+
+    def test_transform_api_chaining(self):
+        from geomesa_spark.geo.model import Point
+        from geomesa_spark.geo.process import transform
+        p = Point(11.5755, 48.1374)
+        utm = transform(p, "EPSG:4326", "EPSG:32632")
+        assert abs(utm.x - 691603.032) < 0.01
+        assert abs(utm.y - 5334780.031) < 0.01
+        back = transform(utm, "EPSG:32632", "EPSG:4326")
+        assert abs(back.x - p.x) < 1e-8 and abs(back.y - p.y) < 1e-8
+        merc = transform(utm, "EPSG:32632", "EPSG:3857")
+        back2 = transform(merc, "EPSG:3857", "EPSG:32632")
+        assert abs(back2.x - utm.x) < 1e-4
+
+    def test_unsupported_raises(self):
+        import pytest
+        from geomesa_spark.geo.model import Point
+        from geomesa_spark.geo.process import transform
+        with pytest.raises(NotImplementedError):
+            transform(Point(0, 0), "EPSG:4326", "EPSG:2154")

@@ -135,6 +135,37 @@ class TestDedup:
             assert got[k] == pytest.approx(want[k], abs=1e-6)
         assert (9001, 9002) in got and got[(9001, 9002)] == 1.0
 
+    @pytest.mark.parametrize("max_df", [1, 2, 5])
+    def test_ngram_skew_guard_stays_exact(self, spark, max_df):
+        """A tiny max_df forces shingles into the hot set (incl. pairs
+        whose ONLY common shingles are hot) — the decomposed path must
+        still equal the brute-force jaccard exactly."""
+        from geomesa_spark.text.dedup import ngram_jaccard_pairs
+        stop = "lorem ipsum dolor"  # one shared stop-phrase per doc
+        rows = [(i, f"{stop} unique{i} tail{i} words{i} end{i}")
+                for i in range(12)]
+        # boilerplate docs made ENTIRELY of the stop shingles (the
+        # compensation-pass case: all common shingles are hot)
+        rows += [(100, stop + " sit amet"), (101, stop + " sit amet"),
+                 (102, stop + " sit amet consectetur")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["a"], r["b"]): r["jaccard"] for r in
+               ngram_jaccard_pairs(docs, threshold=0.3,
+                                   max_df=max_df).collect()}
+        want = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (da, ta), (db, tb) = rows[i], rows[j]
+                a, b = (da, db) if da < db else (db, da)
+                sa, sb = _shingles(ta), _shingles(tb)
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= 0.3:
+                    want[(a, b)] = jac
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-6)
+        assert (100, 101) in got  # hot-only pair found by compensation
+
     def test_minhash_pairs_match_bruteforce(self, docs, local_docs):
         from geomesa_spark.text.dedup import minhash_pairs
         got = {(r["a"], r["b"]): r["jaccard"]
