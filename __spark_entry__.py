@@ -366,6 +366,23 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_s2_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell mode (S2SFC parity): assign level-8 S2 cell ids (cube-face
+    Hilbert curve), prune a high-latitude bbox query with the S2 cover,
+    then refine exactly. Value-checked against the plain bbox SQL — an
+    under-selecting cover loses rows and fails the hash."""
+    from geomesa_spark.cells.s2 import s2_cover_bbox, udf_s2_cell
+
+    qx0, qy0, qx1, qy1 = 60.0, 55.0, 150.0, 75.0
+    cover = [int(c) for c in s2_cover_bbox(qx0, qy0, qx1, qy1, 8).tolist()]
+    pts = _events_points(spark, sf_dir).withColumn(
+        "s2", udf_s2_cell(8)("lon", "lat"))
+    return (pts.where(F.col("s2").isin(cover))
+            .where((F.col("lon") >= qx0) & (F.col("lon") <= qx1)
+                   & (F.col("lat") >= qy0) & (F.col("lat") <= qy1))
+            .select("event_id"))
+
+
 def q_mixed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-filter planning (FilterHelper/FilterSplitter semantics): an
     OR of two conjunctions mixing bbox, time interval, and attribute
@@ -695,6 +712,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z3_heatmap": q_z3_heatmap,
         "xz3_bbox_time": q_xz3_bbox_time,
         "mixed_filter": q_mixed_filter,
+        "s2_bbox_query": q_s2_bbox_query,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1054,6 +1072,12 @@ def oracle_sql() -> dict[str, str]:
                    AND d.lat > 0.0 AND d.lat < 50.0
                    AND e.value > 300.0)
             ORDER BY e.event_id""",
+        # S2 cover-prune + exact refine == the plain bbox predicate
+        "s2_bbox_query": f"""
+            SELECT event_id FROM {pts}
+            WHERE lon >= 60.0 AND lon <= 150.0
+              AND lat >= 55.0 AND lat <= 75.0
+            ORDER BY event_id""",
         "text_quality": f"""
             WITH u AS (
               SELECT doc_id, nc, len(toks) AS nt, list_distinct(toks) AS dt,
