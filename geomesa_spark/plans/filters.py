@@ -257,15 +257,26 @@ def _geom_udf(op: str, geom: Geometry):
 
 
 def to_refine_column(f, *, lon: str = "lon", lat: str = "lat",
-                     ts: str = "ts") -> Column:
+                     ts: str = "ts", loose_bbox: bool = False,
+                     _positive: bool = True) -> Column:
     """The EXACT filter as a Spark Column (the secondary filter of the
     reference's FilterStrategy). Rect spatial predicates compile to
     native comparisons; attribute/time predicates are native and sargable
-    (Catalyst pushes them to the parquet scan)."""
+    (Catalyst pushes them to the parquet scan).
+
+    ``loose_bbox=True`` reproduces the reference's loose-bbox mode
+    (Z2IndexKeySpace.useFullFilter:126-138): POSITIVE rectangular
+    containment predicates skip their exact refine entirely — the result
+    is the cover's superset, the user's explicit opt-in. Negated
+    positions never loosen (dropping a refine under NOT would
+    under-select)."""
     if isinstance(f, Spatial):
         rect = _as_rect(f.geom)
         lo_c, la_c = F.col(lon), F.col(lat)
         if rect is not None:
+            if loose_bbox and _positive and f.op in (
+                    "intersects", "covers", "contains", "within"):
+                return F.lit(True)
             return _rect_column(f.op, rect, lo_c, la_c)
         return _geom_udf(f.op, f.geom)(lo_c, la_c)
     if isinstance(f, Time):
@@ -293,18 +304,19 @@ def to_refine_column(f, *, lon: str = "lon", lat: str = "lat",
         if f.op == "contains":
             return c.contains(str(f.value))
         raise ValueError(f"unknown attribute op {f.op!r}")
+    kw = dict(lon=lon, lat=lat, ts=ts, loose_bbox=loose_bbox)
     if isinstance(f, And):
         col = F.lit(True)
         for p in f.parts:
-            col = col & to_refine_column(p, lon=lon, lat=lat, ts=ts)
+            col = col & to_refine_column(p, _positive=_positive, **kw)
         return col
     if isinstance(f, Or):
         col = F.lit(False)
         for p in f.parts:
-            col = col | to_refine_column(p, lon=lon, lat=lat, ts=ts)
+            col = col | to_refine_column(p, _positive=_positive, **kw)
         return col
     if isinstance(f, Not):
-        return ~to_refine_column(f.part, lon=lon, lat=lat, ts=ts)
+        return ~to_refine_column(f.part, _positive=not _positive, **kw)
     raise TypeError(f"not a filter node: {f!r}")
 
 
@@ -315,7 +327,8 @@ def plan_query(df: DataFrame, f, *, cell_col: str = "cell_prefix",
                lon: str = "lon", lat: str = "lat", ts: str = "ts",
                res: int = PARTITION_RES,
                max_cells: int = DEFAULT_MAX_COVER,
-               allow_full_scan: bool = False) -> DataFrame:
+               allow_full_scan: bool = False,
+               loose_bbox: bool = False) -> DataFrame:
     """Plan a mixed filter: partition pruning (cell cover + epoch weeks)
     prepended, exact refine appended — the FilterSplitter primary/
     secondary split as one declarative Spark plan.
@@ -340,7 +353,8 @@ def plan_query(df: DataFrame, f, *, cell_col: str = "cell_prefix",
         if not weeks:
             return out.where(F.lit(False))
         out = out.where(F.col(week_col).isin(sorted(weeks)))
-    return out.where(to_refine_column(f, lon=lon, lat=lat, ts=ts))
+    return out.where(to_refine_column(f, lon=lon, lat=lat, ts=ts,
+                                      loose_bbox=loose_bbox))
 
 
 def _has_attr(f) -> bool:

@@ -153,6 +153,39 @@ class TestPlanQuery:
                 want.add(i)
         assert got == want
 
+    def test_loose_bbox_supersets_strict(self, spark):
+        """Loose-bbox (useFullFilter parity): skipping the rect refine
+        yields a superset of the strict result; negated rects never
+        loosen (that would under-select)."""
+        from geomesa_spark.cells.native import cell_expr
+        rng = np.random.default_rng(10)
+        df = (spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-60, 60, 1500),
+                    rng.uniform(-50, 50, 1500)))],
+            "id long, lon double, lat double")
+            .withColumn("cell_prefix",
+                        cell_expr("lon", "lat", PARTITION_RES)))
+        f = bbox(-13.0, -7.0, 19.0, 11.0)  # not cell-aligned
+        strict = {r["id"] for r in plan_query(df, f).collect()}
+        loose = {r["id"] for r in
+                 plan_query(df, f, loose_bbox=True).collect()}
+        assert strict <= loose
+        assert len(loose) > len(strict)  # cover over-selects off-aligned
+        # negated rect must stay exact under loose mode
+        neg = and_(bbox(-60.0, -50.0, 60.0, 50.0),
+                   not_(bbox(-13.0, -7.0, 19.0, 11.0)))
+        sneg = {r["id"] for r in
+                plan_query(df, neg, allow_full_scan=True).collect()}
+        lneg = {r["id"] for r in
+                plan_query(df, neg, allow_full_scan=True,
+                           loose_bbox=True).collect()}
+        assert sneg <= lneg  # outer rect loosened, inner NOT stays exact
+        inner_strict = {r["id"] for r in df.collect()
+                        if not (-13.0 <= r["lon"] <= 19.0
+                                and -7.0 <= r["lat"] <= 11.0)}
+        assert lneg <= inner_strict  # no row inside the negated box leaks
+
     def test_guard_refuses_unconstrained(self, spark):
         df = spark.range(1).select(
             F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat"),
