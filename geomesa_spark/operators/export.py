@@ -69,6 +69,67 @@ def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
     return df.select(*cols).mapInPandas(encode, out_schema)
 
 
+def to_arrow_ipc_partitions(df: DataFrame,
+                            dictionary_cols: tuple[str, ...] = ()
+                            ) -> DataFrame:
+    """Distributed Arrow IPC export with dictionary-encoded columns — the
+    ArrowScan shape (/root/reference/geomesa-index-api/src/main/scala/org/
+    locationtech/geomesa/index/iterators/ArrowScan.scala): every scan
+    partition emits its rows as ONE serialized Arrow IPC stream whose
+    ``dictionary_cols`` are dictionary(int32 -> value) encoded (per-batch
+    dictionaries, like the reference's per-scan dictionaries), and the
+    client reduces the partial streams (``arrow_ipc_reduce``) into one
+    stream with unified dictionaries.
+
+    Output: one row per non-empty partition, (n_rows long, ipc binary).
+    The heavy encode work is distributed; only the compact encoded bytes
+    move to the driver.
+    """
+    import pyarrow as pa
+
+    dcols = tuple(dictionary_cols)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        table = pa.Table.from_pandas(pd.concat(pdfs, ignore_index=True),
+                                     preserve_index=False)
+        arrays = []
+        fields = []
+        for i, name in enumerate(table.column_names):
+            col = table.column(i)
+            if name in dcols:
+                col = col.dictionary_encode()
+            arrays.append(col)
+            fields.append(pa.field(name, col.type))
+        out = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, out.schema) as w:
+            w.write_table(out)
+        yield pd.DataFrame({"n_rows": [len(out)],
+                            "ipc": [sink.getvalue().to_pybytes()]})
+
+    return df.mapInPandas(encode, "n_rows long, ipc binary")
+
+
+def arrow_ipc_reduce(parts: list[bytes]) -> bytes:
+    """Client-side reduce of per-partition IPC streams into one stream
+    with UNIFIED dictionaries (the reference's client merge phase)."""
+    import pyarrow as pa
+
+    tables = []
+    for blob in parts:
+        with pa.ipc.open_stream(pa.BufferReader(bytes(blob))) as r:
+            tables.append(r.read_all())
+    merged = pa.concat_tables(tables, promote_options="permissive")
+    merged = merged.unify_dictionaries()
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, merged.schema) as w:
+        w.write_table(merged)
+    return sink.getvalue().to_pybytes()
+
+
 def to_geojson_features(df: DataFrame, *, lon: str = "lon",
                         lat: str = "lat",
                         id_col: str | None = None) -> DataFrame:

@@ -1,0 +1,181 @@
+"""Cost-based strategy selection + attribute index.
+
+Reference semantics re-derived (not ported):
+- StrategyDecider: each index proposes a FilterStrategy with a primary
+  (prunable) part and a cost = estimated rows x strategy multiplier from
+  cached stats; the cheapest wins (/root/reference/geomesa-index-api/src/
+  main/scala/org/locationtech/geomesa/index/planning/
+  StrategyDecider.scala:79-191; multipliers in strategies/*.scala:
+  spatial 1.2, attribute 1.0, full scan infinite unless allowed).
+- Attribute index: a secondary key-ordered table (attribute value ->
+  feature id) scanned by range, joined back to the record
+  (/root/reference/geomesa-index-api/.../index/attribute/*).
+- Cached stats: per-table row count + per-attribute cardinality
+  (GeoMesaStats / StatsBasedEstimator).
+
+Spark mapping: stats persist as one tiny JSON next to the table; the
+attribute index is a parquet table of (value, id) SORTED by value, so an
+equality/range predicate reaches the scan as row-group min/max skipping
+(sargable), and the id set semi-joins back to the primary table. The
+decider estimates selectivity of each candidate primary:
+
+- spatial: |cover| / total cells at partition resolution,
+- temporal: |weeks| / distinct weeks in the table,
+- attribute equality/IN: 1 / cardinality (x len(values)),
+- attribute range: the reference's default range fraction (conservative),
+
+then cost = rows x fraction x multiplier; cheapest strategy prunes
+first, the FULL original filter refines (so a wrong estimate can only
+cost time, never correctness)."""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from geomesa_spark.cells import PARTITION_RES
+from geomesa_spark.plans import filters as FL
+
+SPATIAL_MULTIPLIER = 1.2   # spatial scans over-select cover cells
+ATTRIBUTE_MULTIPLIER = 1.0
+TEMPORAL_MULTIPLIER = 1.0
+RANGE_FRACTION = 0.25      # conservative default for attr range filters
+
+STATS_FILE = "_stats.json"
+
+
+# ------------------------------------------------------------------ stats
+
+def compute_stats(df: DataFrame, *, attrs: list[str] = (),
+                  week_col: str | None = None) -> dict:
+    """Row count + approx per-attribute cardinality (the reference's
+    cached GeoMesaStats). One pass, all aggregates partial/map-side."""
+    aggs = [F.count("*").alias("__n__")]
+    for a in attrs:
+        aggs.append(F.approx_count_distinct(a).alias(f"card_{a}"))
+    if week_col:
+        aggs.append(F.approx_count_distinct(week_col).alias("__weeks__"))
+    row = df.agg(*aggs).collect()[0]
+    out = {"rows": row["__n__"],
+           "cardinality": {a: row[f"card_{a}"] for a in attrs}}
+    if week_col:
+        out["weeks"] = row["__weeks__"]
+    return out
+
+
+def write_stats(stats: dict, table_path: str) -> None:
+    with open(os.path.join(table_path, STATS_FILE), "w") as f:
+        json.dump(stats, f)
+
+
+def read_stats(table_path: str) -> dict | None:
+    p = os.path.join(table_path, STATS_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+# -------------------------------------------------------- attribute index
+
+def build_attribute_index(df: DataFrame, index_path: str, *,
+                          column: str, id_col: str,
+                          n_files: int = 8) -> None:
+    """Secondary key-ordered table: (value, id) globally SORTED by value
+    (repartitionByRange -> one sorted parquet file per range), so a
+    value predicate prunes via row-group min/max statistics — the
+    attribute index's key-ordered scan, Spark-native."""
+    (df.select(F.col(column).alias("value"), F.col(id_col).alias("id"))
+     .repartitionByRange(n_files, "value")
+     .sortWithinPartitions("value")
+     .write.mode("overwrite").parquet(index_path))
+
+
+def attribute_index_lookup(spark: SparkSession, index_path: str,
+                           primary: DataFrame, *, id_col: str,
+                           op: str, value) -> DataFrame:
+    """Scan the secondary index with the pushed predicate, semi-join the
+    id set back to the primary table (the reference's join-back)."""
+    idx = spark.read.parquet(index_path)
+    c = F.col("value")
+    preds = {"=": c == value, "<": c < value, "<=": c <= value,
+             ">": c > value, ">=": c >= value}
+    if op == "in":
+        pred = c.isin(list(value))
+    else:
+        pred = preds[op]
+    ids = idx.where(pred).select(F.col("id").alias(id_col)).distinct()
+    return primary.join(ids, id_col, "left_semi")
+
+
+# ----------------------------------------------------------- the decider
+
+@dataclass
+class Strategy:
+    kind: str            # spatial | temporal | attribute | full
+    cost: float          # estimated rows scanned x multiplier
+    attribute: str | None = None
+
+
+def _attr_fraction(f, cardinality: dict) -> dict[str, float]:
+    """Per-attribute selectivity fraction of the AND-reachable attribute
+    predicates (OR branches don't bound the scan)."""
+    out: dict[str, float] = {}
+
+    def visit(node, positive):
+        if isinstance(node, FL.Attr) and positive:
+            card = cardinality.get(node.column)
+            if not card:
+                return
+            if node.op == "=":
+                frac = 1.0 / card
+            elif node.op == "in":
+                frac = min(1.0, len(node.value) / card)
+            elif node.op in ("<", "<=", ">", ">="):
+                frac = RANGE_FRACTION
+            else:
+                return
+            out[node.column] = min(out.get(node.column, 1.0), frac)
+        elif isinstance(node, FL.And):
+            for p in node.parts:
+                visit(p, positive)
+        elif isinstance(node, FL.Not):
+            visit(node.part, not positive)
+        # Or: a disjunction's branches do not individually bound the scan
+    visit(FL._push_not(f), True)
+    return out
+
+
+def decide(f, stats: dict, *, res: int = PARTITION_RES,
+           allow_full_scan: bool = False) -> Strategy:
+    """Pick the cheapest primary strategy for ``f`` (StrategyDecider
+    semantics: cost = estimated rows x multiplier; ties prefer the
+    attribute index, matching the reference's equality-first behavior)."""
+    rows = max(1, stats.get("rows", 1))
+    candidates: list[Strategy] = []
+
+    cover = FL.extract_cover(f, res=res)
+    if cover is not None:
+        frac = len(cover) / float(4 ** res)
+        candidates.append(Strategy("spatial",
+                                   rows * frac * SPATIAL_MULTIPLIER))
+    weeks = FL.extract_weeks(f)
+    if weeks is not None and stats.get("weeks"):
+        frac = min(1.0, len(weeks) / stats["weeks"])
+        candidates.append(Strategy("temporal",
+                                   rows * frac * TEMPORAL_MULTIPLIER))
+    for col, frac in _attr_fraction(f, stats.get("cardinality",
+                                                 {})).items():
+        candidates.append(Strategy("attribute",
+                                   rows * frac * ATTRIBUTE_MULTIPLIER,
+                                   attribute=col))
+    if not candidates:
+        if not allow_full_scan:
+            raise ValueError(
+                "no index strategy applies; pass allow_full_scan=True")
+        return Strategy("full", float(rows))
+    return min(candidates, key=lambda s: (s.cost,
+                                          s.kind != "attribute"))

@@ -64,6 +64,75 @@ class Converter:
             raw = r.json(path_or_df)
         return self._apply(raw)
 
+    def from_orc(self, spark: SparkSession, path_or_df) -> DataFrame:
+        """ORC source (built-in Spark data source; the reference's
+        geomesa-convert parquet/orc family)."""
+        raw = (path_or_df if isinstance(path_or_df, DataFrame)
+               else spark.read.orc(path_or_df))
+        return self._apply(raw)
+
+    def from_avro(self, spark: SparkSession, path_or_df) -> DataFrame:
+        """Avro object-container source. The spark-avro jar is absent in
+        this environment, so files are read distributed via binaryFile +
+        the pure-Python container decoder (sources/avro.py) — flat
+        primitive records, null/deflate codecs."""
+        if isinstance(path_or_df, DataFrame):
+            raw = path_or_df
+        else:
+            from geomesa_spark.sources.avro import read_avro
+            raw = read_avro(spark, path_or_df)
+        return self._apply(raw)
+
+    def from_xml(self, spark: SparkSession, path: str, *,
+                 record_tag: str,
+                 xpaths: dict[str, str]) -> DataFrame:
+        """XML source (geomesa-convert-xml parity): each file is parsed
+        distributed (binaryFile + stdlib ElementTree); one raw row per
+        ``record_tag`` element; ``xpaths`` maps raw column names onto
+        ElementPath expressions evaluated relative to the record element
+        ('@attr' reads an attribute, anything else is findtext)."""
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        cols = list(xpaths.items())
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import xml.etree.ElementTree as ET
+            for pdf in batches:
+                rows = []
+                for blob in pdf["content"]:
+                    root = ET.fromstring(bytes(blob).decode("utf-8"))
+                    matches = ([root] if root.tag == record_tag
+                               else root.iter(record_tag))
+                    for el in matches:
+                        row = {}
+                        for name, xp in cols:
+                            if xp.startswith("@"):
+                                row[name] = el.get(xp[1:])
+                            elif xp == ".":
+                                row[name] = (el.text or "").strip() or None
+                            else:
+                                row[name] = el.findtext(xp)
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows,
+                                       columns=[n for n, _ in cols])
+
+        raw = (spark.read.format("binaryFile")
+               .option("pathGlobFilter", "*.xml").load(path)
+               .select("content")
+               .mapInPandas(parse, ", ".join(
+                   f"{n} string" for n, _ in cols)))
+        return self._apply(raw)
+
+    def from_shapefile(self, spark: SparkSession, path: str) -> DataFrame:
+        """Shapefile source (.shp + .dbf pairs) via the pure-Python ESRI
+        readers (sources/shapefile.py — GDAL/pyshp absent here). Raw
+        columns: geom (WKB binary), attrs_json (string), stem, idx."""
+        from geomesa_spark.sources.shapefile import read_shapefile
+        return self._apply(read_shapefile(spark, path))
+
     def from_fixed_width(self, spark: SparkSession, path_or_df,
                          widths: list[tuple[str, int, int]]) -> DataFrame:
         """widths = [(raw_name, start_1_based, length), ...] over a text

@@ -104,3 +104,54 @@ class TestDensityFootprint:
                                 weight="wt")
         rows = out.collect()
         assert len(rows) == 1 and rows[0]["weight"] == 7.5
+
+
+class TestAvroOrcConverters:
+    def test_avro_container_roundtrip_through_spark(self, spark, tmp_path):
+        """Write container files with the pure-Python encoder, read them
+        back distributed (binaryFile + decoder), convert onto a declared
+        schema — geomesa-convert avro parity without the spark-avro jar."""
+        from geomesa_spark.sources.avro import write_container
+        from geomesa_spark.sources.convert import Converter, Field
+        schema = {"type": "record", "name": "obs", "fields": [
+            {"name": "oid", "type": "long"},
+            {"name": "lon", "type": "double"},
+            {"name": "lat", "type": "double"},
+            {"name": "label", "type": ["null", "string"]}]}
+        recs = [{"oid": i, "lon": float(i % 50) - 20.0,
+                 "lat": float(i % 30) - 10.0,
+                 "label": None if i % 5 == 0 else f"L{i}"}
+                for i in range(500)]
+        for k, codec in ((0, "null"), (1, "deflate")):
+            part = recs[k * 250:(k + 1) * 250]
+            (tmp_path / f"part{k}.avro").write_bytes(
+                write_container(schema, part, codec=codec))
+        conv = Converter(fields=[
+            Field("oid", "long", "oid"),
+            Field("lon", "double", "lon"),
+            Field("lat", "double", "lat"),
+            Field("label", "string", "label")],
+            required=["oid", "lon", "lat"])
+        out = conv.from_avro(spark, str(tmp_path))
+        rows = {r["oid"]: (r["lon"], r["lat"], r["label"])
+                for r in out.collect()}
+        assert len(rows) == 500
+        assert rows[7] == (7 % 50 - 20.0, 7 % 30 - 10.0, "L7")
+        assert rows[10][2] is None
+
+    def test_orc_converter(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from geomesa_spark.sources.convert import Converter, Field
+        src = spark.range(100).select(
+            F.col("id").alias("oid"),
+            (F.col("id") * 1.5).alias("x"),
+            F.concat(F.lit("v"), F.col("id")).alias("tag"))
+        path = str(tmp_path / "orc_table")
+        src.write.orc(path)
+        conv = Converter(fields=[
+            Field("oid", "long", "oid"),
+            Field("x2", "double", "x * 2"),
+            Field("tag", "string", "tag")])
+        out = conv.from_orc(spark, path)
+        rows = {r["oid"]: (r["x2"], r["tag"]) for r in out.collect()}
+        assert len(rows) == 100 and rows[4] == (12.0, "v4")

@@ -1,0 +1,106 @@
+"""Strategy decider + attribute index tests (StrategyDecider /
+attribute-index semantics): cost ordering picks the most selective
+primary, the secondary index's sorted layout prunes via row-group stats,
+and the join-back returns exactly the predicate's rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.plans.filters import And, Attr, Time, and_, bbox, not_
+from geomesa_spark.plans.strategy import (Strategy, attribute_index_lookup,
+                                          build_attribute_index,
+                                          compute_stats, decide,
+                                          read_stats, write_stats)
+
+STATS = {"rows": 1_000_000, "weeks": 50,
+         "cardinality": {"user_id": 100_000, "event_type": 5}}
+
+
+class TestDecider:
+    def test_equality_on_high_cardinality_beats_spatial(self):
+        f = and_(bbox(-30.0, -20.0, 40.0, 35.0),
+                 Attr("user_id", "=", 42))
+        s = decide(f, STATS)
+        assert s.kind == "attribute" and s.attribute == "user_id"
+
+    def test_small_bbox_beats_low_cardinality_attr(self):
+        f = and_(bbox(-1.0, -1.0, 1.0, 1.0),
+                 Attr("event_type", "=", "click"))
+        s = decide(f, STATS)
+        assert s.kind == "spatial"
+
+    def test_temporal_when_time_is_tightest(self):
+        f = and_(Time("2024-01-08T00:00:00", "2024-01-09T00:00:00"),
+                 Attr("event_type", "=", "click"))
+        s = decide(f, STATS)
+        assert s.kind == "temporal"  # 1/50 week < 1/5 attr
+
+    def test_or_attribute_does_not_bound(self):
+        from geomesa_spark.plans.filters import or_
+        f = and_(bbox(-170.0, -80.0, 170.0, 80.0),
+                 or_(Attr("user_id", "=", 1), Attr("user_id", "=", 2)))
+        s = decide(f, STATS)
+        assert s.kind == "spatial"  # the OR'd attr branches can't prune
+
+    def test_or_with_unconstrained_branch_needs_full_scan(self):
+        from geomesa_spark.plans.filters import or_
+        f = or_(Attr("user_id", "=", 1), bbox(-170, -80, 170, 80))
+        # the attr-only branch makes the union unbounded spatially and
+        # un-prunable by a single attribute -> full scan (guarded)
+        with pytest.raises(ValueError):
+            decide(f, STATS)
+
+    def test_negated_attr_does_not_bound(self):
+        f = and_(bbox(-30.0, -20.0, 40.0, 35.0),
+                 not_(Attr("user_id", "=", 42)))
+        s = decide(f, STATS)
+        assert s.kind == "spatial"
+
+    def test_unbounded_guard(self):
+        with pytest.raises(ValueError):
+            decide(not_(bbox(-10, -10, 10, 10)), STATS)
+        s = decide(not_(bbox(-10, -10, 10, 10)), STATS,
+                   allow_full_scan=True)
+        assert s.kind == "full"
+
+
+class TestAttributeIndex:
+    def test_index_lookup_matches_filter(self, spark, tmp_path):
+        rng = np.random.default_rng(13)
+        df = spark.createDataFrame(
+            [(int(i), int(rng.integers(0, 500)), float(i))
+             for i in range(5000)],
+            "id long, user long, value double").cache()
+        path = str(tmp_path / "attr_idx")
+        build_attribute_index(df, path, column="user", id_col="id")
+        got = {r["id"] for r in attribute_index_lookup(
+            spark, path, df, id_col="id", op="=", value=77).collect()}
+        want = {r["id"] for r in df.where(F.col("user") == 77).collect()}
+        assert got == want and got
+        got_r = {r["id"] for r in attribute_index_lookup(
+            spark, path, df, id_col="id", op="<", value=10).collect()}
+        want_r = {r["id"] for r in df.where(F.col("user") < 10).collect()}
+        assert got_r == want_r
+
+    def test_index_scan_is_sargable(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(int(i), int(i % 100)) for i in range(2000)],
+            "id long, user long")
+        path = str(tmp_path / "attr_idx2")
+        build_attribute_index(df, path, column="user", id_col="id")
+        idx = spark.read.parquet(path).where(F.col("value") == 5)
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "EqualTo(value,5)" in plan
+
+    def test_stats_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(int(i), "t" + str(i % 3)) for i in range(1000)],
+            "id long, tag string")
+        stats = compute_stats(df, attrs=["tag"])
+        assert stats["rows"] == 1000
+        assert 2 <= stats["cardinality"]["tag"] <= 4
+        write_stats(stats, str(tmp_path))
+        assert read_stats(str(tmp_path)) == stats
