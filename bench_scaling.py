@@ -252,6 +252,9 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true",
                     help="internal: run one pinned measurement level")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleaved measurement rounds per level (more "
+                         "rounds -> better min under host steal noise)")
     args = ap.parse_args()
 
     if args.worker:
@@ -263,7 +266,7 @@ def main() -> None:
     path = args.table or f"/tmp/bench_images_{args.n_images}"
     ensure_table(path, args.n_images)
     levels = [args.low] + ([args.mid] if args.mid else []) + [args.high]
-    best = measure_all(levels, path, args.n_images)
+    best = measure_all(levels, path, args.n_images, rounds=args.rounds)
     lo = best[args.low]
     mid = best.get(args.mid) if args.mid else None
     hi = best[args.high]

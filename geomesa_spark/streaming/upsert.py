@@ -123,3 +123,33 @@ def upsert_stream(events: DataFrame, *, ttl_seconds: int | None = None,
     return (ev.groupBy("key")
             .applyInPandasWithState(update, OUT_SCHEMA, STATE_SCHEMA,
                                     "append", timeout))
+
+
+def live_snapshot(changelog: DataFrame, *,
+                  bbox: tuple[float, float, float, float] | None = None,
+                  key: str = "key", ts: str = "ts") -> DataFrame:
+    """Spatially-queryable LIVE view of the cache — the reference's
+    in-cache grid index (BucketIndex, KafkaFeatureCacheImpl.scala:37-44)
+    re-expressed over the materialized changelog: compaction keeps each
+    key's latest state (upsert wins; delete/expire tombstones drop the
+    key), a native cell column stands in for the grid buckets, and a
+    bbox query prunes on the cell cover before the exact lon/lat refine.
+
+    ``changelog``: the batch view of ``upsert_stream``'s sink (op in
+    upsert|delete|expire). Cover may over-select, never under-select.
+    """
+    from geomesa_spark.cells import PARTITION_RES, bbox_cover
+    from geomesa_spark.cells.native import cell_expr
+
+    w = Window.partitionBy(key).orderBy(F.desc(ts))
+    live = (changelog.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("op") == "upsert"))
+            .drop("_rn")
+            .withColumn("cell", cell_expr("lon", "lat", PARTITION_RES)))
+    if bbox is None:
+        return live
+    x0, y0, x1, y1 = bbox
+    cover = [int(c) for c in bbox_cover(x0, y0, x1, y1, PARTITION_RES)]
+    return (live.where(F.col("cell").isin(cover))
+            .where((F.col("lon") >= x0) & (F.col("lon") <= x1)
+                   & (F.col("lat") >= y0) & (F.col("lat") <= y1)))

@@ -132,3 +132,34 @@ class TestClearOp:
         got = {r["key"]: r["payload"]
                for r in latest_by_key(df, seq="seq").collect()}
         assert got == {"a": "new-a"}  # b wiped by clear; old-a superseded
+
+
+class TestLiveSnapshot:
+    def test_spatial_query_on_live_cache(self, spark):
+        """live_snapshot = BucketIndex parity: latest state per key,
+        tombstones drop out, bbox queries prune by cell then refine."""
+        import datetime as dt
+        from geomesa_spark.streaming.upsert import live_snapshot
+        t = dt.datetime(2024, 1, 1)
+
+        def row(key, op, secs, lon, lat):
+            return (key, op, t + dt.timedelta(seconds=secs), lon, lat,
+                    f"p-{key}")
+        changelog = spark.createDataFrame(
+            [row("a", "upsert", 1, 10.0, 10.0),
+             row("a", "upsert", 5, 50.0, 50.0),   # a moved out of bbox
+             row("b", "upsert", 2, 11.0, 11.0),
+             row("b", "delete", 6, None, None),   # b tombstoned
+             row("c", "upsert", 3, 12.0, 12.0),
+             row("d", "upsert", 4, -100.0, 0.0),  # outside bbox
+             row("e", "upsert", 7, 13.0, 13.0),
+             row("e", "expire", 9, 13.0, 13.0)],  # e expired
+            "key string, op string, ts timestamp, lon double, "
+            "lat double, payload string")
+        live = {r["key"]: (r["lon"], r["lat"])
+                for r in live_snapshot(changelog).collect()}
+        assert live == {"a": (50.0, 50.0), "c": (12.0, 12.0),
+                        "d": (-100.0, 0.0)}
+        hits = {r["key"] for r in live_snapshot(
+            changelog, bbox=(5.0, 5.0, 20.0, 20.0)).collect()}
+        assert hits == {"c"}
