@@ -367,16 +367,18 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 cell mode (S2SFC parity): assign level-8 S2 cell ids (cube-face
+    """S2 cell mode (S2SFC parity): assign level-6 S2 cell ids (cube-face
     Hilbert curve), prune a high-latitude bbox query with the S2 cover,
     then refine exactly. Value-checked against the plain bbox SQL — an
     under-selecting cover loses rows and fails the hash."""
     from geomesa_spark.cells.s2 import s2_cover_bbox, udf_s2_cell
 
+    # level 6: ~24k cells world-wide; this bbox covers ~1k — the driver
+    # cover stays sub-second while the prune still reads ~4% of cells
     qx0, qy0, qx1, qy1 = 60.0, 55.0, 150.0, 75.0
-    cover = [int(c) for c in s2_cover_bbox(qx0, qy0, qx1, qy1, 8).tolist()]
+    cover = [int(c) for c in s2_cover_bbox(qx0, qy0, qx1, qy1, 6).tolist()]
     pts = _events_points(spark, sf_dir).withColumn(
-        "s2", udf_s2_cell(8)("lon", "lat"))
+        "s2", udf_s2_cell(6)("lon", "lat"))
     return (pts.where(F.col("s2").isin(cover))
             .where((F.col("lon") >= qx0) & (F.col("lon") <= qx1)
                    & (F.col("lat") >= qy0) & (F.col("lat") <= qy1))

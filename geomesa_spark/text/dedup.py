@@ -107,8 +107,25 @@ def ngram_jaccard_pairs(df: DataFrame, *, n: int = 3, threshold: float = 0.5,
         return (pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
                 .where(F.col("jaccard") >= threshold))
 
+    # tokenize/explode once: the frequency probe AND the join branches all
+    # read this frame (lazy lineage would re-run tokenization per branch)
+    ex = ex.localCheckpoint()
     freq = ex.groupBy("_s").agg(F.count("*").alias("_df"))
     hot = freq.where(F.col("_df") > max_df).select("_s")
+    # short-circuit: the common corpus has NO hot shingles at this cap —
+    # one tiny driver probe swaps in the plain exact join and skips the
+    # hot-array/compensation machinery's extra shuffles entirely
+    if hot.limit(1).count() == 0:
+        a = ex.select(F.col("_id").alias("a"), F.col("_n").alias("na"),
+                      "_s")
+        b = ex.select(F.col("_id").alias("b"), F.col("_n").alias("nb"),
+                      "_s")
+        pairs = (a.join(b, "_s")
+                 .where(F.col("a") < F.col("b"))
+                 .groupBy("a", "b", "na", "nb")
+                 .agg(F.count("*").alias("common")))
+        return (pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
     hot_arr = (ex.join(F.broadcast(hot), "_s")
                .groupBy("_id").agg(F.collect_set("_s").alias("_hot")))
     kept = ex.join(F.broadcast(hot), "_s", "left_anti")
