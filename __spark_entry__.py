@@ -800,7 +800,11 @@ def _char_hash_sql(expr: str, mult: int) -> str:
 
 
 def _simhash_sql() -> str:
-    from geomesa_spark.text.dedup import _simhash_bit_source
+    from geomesa_spark.text.dedup import (SIMHASH_A2 as _SH_A2,
+                                          SIMHASH_A3 as _SH_A3,
+                                          SIMHASH_B2 as _SH_B2,
+                                          SIMHASH_B3 as _SH_B3,
+                                          _simhash_bit_source)
     srcs = [_simhash_bit_source(b) for b in range(64)]
     sums = ", ".join(
         f"sum(CASE WHEN ((h{idx} >> {pos}) & 1) = 1 "
@@ -817,9 +821,11 @@ def _simhash_sql() -> str:
                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
                    AS t
           FROM documents),
-        h AS (SELECT doc_id, {_char_hash_sql('t', 31)} AS h1,
-                     {_char_hash_sql('t', 37)} AS h2,
-                     {_char_hash_sql('t', 41)} AS h3 FROM tok),
+        h0 AS (SELECT doc_id, {_char_hash_sql('t', 31)} AS h1 FROM tok),
+        h AS (SELECT doc_id, h1,
+                     (h1 * {_SH_A2} + {_SH_B2}) % 2147483647 AS h2,
+                     (h1 * {_SH_A3} + {_SH_B3}) % 2147483647 AS h3
+              FROM h0),
         s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
         sig AS (SELECT doc_id, CAST({bits} AS BIGINT) AS sim FROM s)
         SELECT a.doc_id AS a, b.doc_id AS b,

@@ -20,6 +20,7 @@ Scale shapes (the part that matters at 100 TB):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from geomesa_spark.text.analysis import with_tokens
@@ -30,6 +31,11 @@ from geomesa_spark.text.analysis import with_tokens
 # never wraps and every "permutation" is a monotone scaling of the base
 # hash, collapsing all signature rows onto the same argmin shingle.
 MERSENNE31 = (1 << 31) - 1
+
+# simhash affine-derived hash parameters (h2 = a2*h1+b2, h3 = a3*h1+b3,
+# both mod 2^31-1); mirrored bit-exactly in the DuckDB oracle and pytest
+SIMHASH_A2, SIMHASH_B2 = 1000003, 12345
+SIMHASH_A3, SIMHASH_B3 = 69069, 54321
 
 
 def normalized_text(text: str = "text"):
@@ -173,13 +179,32 @@ def _minhash_coeffs(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 def _signatures_from_shingles(sh: DataFrame, *, k: int,
                               id_col: str = "doc_id",
                               seed: int = 7) -> DataFrame:
-    a, b = _minhash_coeffs(k, seed)
-    ex = (sh.select(F.col(id_col), F.explode("shingles").alias("_s"))
-          .withColumn("_h", F.crc32(F.col("_s").cast("binary")).cast("long")
-                      % F.lit(MERSENNE31)))
-    aggs = [F.min((F.lit(int(a[i])) * F.col("_h") + F.lit(int(b[i])))
-                  % F.lit(MERSENNE31)).alias(f"mh{i}") for i in range(k)]
-    return ex.groupBy(id_col).agg(*aggs)
+    """k-wide signatures computed ROW-WISE in one Arrow-vectorized kernel
+    (k x n_shingles matrix min per doc) — no explode, no shuffle: the
+    k-permutation min is per-document math, so turning it into k wide
+    aggregates over exploded rows (the previous shape) paid an explode +
+    hash-shuffle for work a numpy matmul-style pass does in place. Base
+    hash crc32 == zlib.crc32 (same bytes, same mod), permutations
+    identical, so signatures are bit-equal to the aggregate form."""
+    a, b = (x.astype(np.int64) for x in _minhash_coeffs(k, seed))
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs(shingles: pd.Series) -> pd.Series:
+        import zlib
+        out = []
+        for arr in shingles:
+            hs = np.array([zlib.crc32(s.encode("utf-8")) for s in arr],
+                          dtype=np.int64) % MERSENNE31
+            sig = ((a[:, None] * hs[None, :] + b[:, None])
+                   % MERSENNE31).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return sh.select(F.col(id_col),
+                     sigs(F.col("shingles")).alias("_sig")) \
+        .select(id_col, *[F.element_at("_sig", i + 1).alias(f"mh{i}")
+                          for i in range(k)])
 
 
 def minhash_signatures(df: DataFrame, *, k: int = 128, n: int = 3,
@@ -260,11 +285,16 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
     the DuckDB oracle, making the near-dup pairs value-checked, not
     rows-only."""
     from geomesa_spark.text.analysis import char_hash_expr
+    # one char-fold per token; h2/h3 derive by affine universal hashes
+    # (a*h+b mod 2^31-1) — same independence class as separate folds at a
+    # third of the cost; the DuckDB oracle replicates the arithmetic
     ex = (with_tokens(df, text)
           .select(F.col(id_col), F.explode("tokens").alias("_t"))
           .withColumn("_h1", char_hash_expr(F.col("_t"), 31))
-          .withColumn("_h2", char_hash_expr(F.col("_t"), 37))
-          .withColumn("_h3", char_hash_expr(F.col("_t"), 41)))
+          .withColumn("_h2", (F.col("_h1") * SIMHASH_A2 + SIMHASH_B2)
+                      % MERSENNE31)
+          .withColumn("_h3", (F.col("_h1") * SIMHASH_A3 + SIMHASH_B3)
+                      % MERSENNE31))
     sums = []
     for b in range(64):
         idx, pos = _simhash_bit_source(b)

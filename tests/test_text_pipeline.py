@@ -194,11 +194,16 @@ class TestDedup:
         assert got[1] == got[2]
 
         def py_simhash(text):
-            from geomesa_spark.text.dedup import _simhash_bit_source
+            from geomesa_spark.text.dedup import (SIMHASH_A2, SIMHASH_A3,
+                                                  SIMHASH_B2, SIMHASH_B3,
+                                                  _simhash_bit_source)
+            M = (1 << 31) - 1
             sums = [0] * 64
             for t in _toks(text):
-                hs = {i: _char_hash(t, m)
-                      for i, m in ((1, 31), (2, 37), (3, 41))}
+                h1 = _char_hash(t, 31)
+                hs = {1: h1,
+                      2: (h1 * SIMHASH_A2 + SIMHASH_B2) % M,
+                      3: (h1 * SIMHASH_A3 + SIMHASH_B3) % M}
                 for b in range(64):
                     idx, pos = _simhash_bit_source(b)
                     sums[b] += 1 if (hs[idx] >> pos) & 1 else -1
