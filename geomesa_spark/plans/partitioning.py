@@ -5,12 +5,14 @@ geomesa-spark-sql/src/main/scala/org/locationtech/geomesa/spark/
 RelationUtils.scala — equal :85-105, earth :131-133, weighted :107-129,
 rtree :137-204; routed by IndexPartitioner with a reserved last partition
 for misses :18-29) re-expressed as partition-id column assignments the
-DataFrame can ``repartition`` on. The rtree strategy is subsumed by the
-cell grid (its purpose — data-adaptive envelopes — is what ``weighted``
-provides without a driver-side tree).
+DataFrame can ``repartition`` on. ``rtree`` packs leaf envelopes from a
+driver-side sample with Sort-Tile-Recursive ordering (the algorithm
+underlying the reference's STRtree leaves) and compiles them to a native
+CASE expression.
 
-Reserved-partition semantics: rows with no computable position get id -1
-and are kept, never dropped."""
+Reserved-partition semantics: rows with no computable position (or, for
+rtree, outside every sampled envelope) get id -1 and are kept, never
+dropped."""
 
 from __future__ import annotations
 
@@ -63,6 +65,45 @@ def weighted_partition_id(df: DataFrame, *, lon: str = "lon",
         .otherwise(F.lit(-1))
 
 
+def rtree_partition_id(df: DataFrame, *, lon: str = "lon",
+                       lat: str = "lat", parallelism: int = 16,
+                       sample: float = 0.1) -> Column:
+    """STR-packed leaf envelopes from a sample (rtree strategy): sort the
+    sample by x into ~sqrt(P) vertical strips, sort each strip by y, cut
+    into leaves; a row takes the id of the first covering envelope,
+    reserved -1 outside all of them (the sample missed that region)."""
+    import math
+
+    import numpy as np
+
+    rows = (df.select(lon, lat).dropna()
+            .sample(fraction=sample, seed=7).limit(100_000).collect())
+    pts = np.array([(r[0], r[1]) for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        return F.lit(-1)
+    p = max(parallelism, 1)
+    nx = max(int(math.ceil(math.sqrt(p))), 1)
+    pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    envs: list[tuple[float, float, float, float]] = []
+    for strip in np.array_split(pts, nx):
+        if not len(strip):
+            continue
+        strip = strip[np.argsort(strip[:, 1], kind="stable")]
+        for leaf in np.array_split(strip, max(int(round(p / nx)), 1)):
+            if len(leaf):
+                envs.append((float(leaf[:, 0].min()),
+                             float(leaf[:, 1].min()),
+                             float(leaf[:, 0].max()),
+                             float(leaf[:, 1].max())))
+    pid: Column = F.lit(-1)
+    for i in reversed(range(len(envs))):
+        x0, y0, x1, y1 = envs[i]
+        cond = ((F.col(lon) >= x0) & (F.col(lon) <= x1)
+                & (F.col(lat) >= y0) & (F.col(lat) <= y1))
+        pid = F.when(cond, i).otherwise(pid)
+    return pid
+
+
 def spatial_repartition(df: DataFrame, *, strategy: str = "earth",
                         lon: str = "lon", lat: str = "lat",
                         parallelism: int = 16,
@@ -78,6 +119,9 @@ def spatial_repartition(df: DataFrame, *, strategy: str = "earth",
     elif strategy == "weighted":
         pid = weighted_partition_id(df, lon=lon, lat=lat,
                                     parallelism=parallelism)
+    elif strategy == "rtree":
+        pid = rtree_partition_id(df, lon=lon, lat=lat,
+                                 parallelism=parallelism)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return df.withColumn(id_col, pid).repartition(id_col)

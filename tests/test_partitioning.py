@@ -73,3 +73,48 @@ class TestPlannerGuards:
         world = from_wkt(
             "POLYGON((-180 -90, 180 -90, 180 90, -180 90, -180 -90))")
         assert cell_cover_of_geometry(world) is None
+
+
+class TestRtreeStrategy:
+    def test_rtree_partitions_balance_and_reserve(self, spark):
+        """STR-packed envelopes: skewed data splits into balanced leaves;
+        points outside every envelope go to the reserved -1 partition."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from geomesa_spark.plans.partitioning import spatial_repartition
+        rng = np.random.default_rng(17)
+        # heavy cluster + sparse tail (the skew case rtree exists for)
+        xs = np.concatenate([rng.normal(10, 1, 4000),
+                             rng.uniform(-170, 170, 400)])
+        ys = np.concatenate([rng.normal(20, 1, 4000),
+                             rng.uniform(-80, 80, 400)])
+        df = spark.createDataFrame(
+            [(int(i), float(x), float(y))
+             for i, (x, y) in enumerate(zip(xs, ys))],
+            "id long, lon double, lat double")
+        out = spatial_repartition(df, strategy="rtree", parallelism=16)
+        counts = {r["partition_id"]: r["n"] for r in
+                  out.groupBy("partition_id")
+                  .agg(F.count("*").alias("n")).collect()}
+        assigned = {k: v for k, v in counts.items() if k >= 0}
+        assert len(assigned) >= 8  # leaves actually split the cluster
+        # balance: no leaf hogs the data (cluster split across leaves)
+        assert max(assigned.values()) < 4400 * 0.5
+        # every row kept (reserved partition catches sample misses)
+        assert sum(counts.values()) == 4400
+
+    def test_rtree_same_strategy_colocates(self, spark):
+        import numpy as np
+        from geomesa_spark.plans.partitioning import rtree_partition_id
+        rng = np.random.default_rng(18)
+        df = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-50, 50, 1000),
+                    rng.uniform(-50, 50, 1000)))],
+            "id long, lon double, lat double")
+        # same strategy + params => identical assignment both times
+        a = df.withColumn("p", rtree_partition_id(df, parallelism=9))
+        b = df.withColumn("p", rtree_partition_id(df, parallelism=9))
+        ja = {r["id"]: r["p"] for r in a.collect()}
+        jb = {r["id"]: r["p"] for r in b.collect()}
+        assert ja == jb
