@@ -84,6 +84,18 @@ def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_points_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points + timestamp in ONE scan: lon/lat are pure expressions of
+    event_id, so spatio-temporal queries never need the events<->points
+    self-join (which would cost a shuffle for derivable columns)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", "ts", "event_type", "value",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+
+
 def _regions() -> list[tuple[str, float, float, float, float]]:
     rng = np.random.default_rng(0)
     out = []
@@ -333,9 +345,8 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TubeSelectProcess: events within 1000 km AND 6 h of a track."""
     from geomesa_spark.operators.proximity import tube_select
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
-    pts = ev.join(_events_points(spark, sf_dir).select("event_id", "lon",
-                                                       "lat"), "event_id")
+    pts = _events_points_ts(spark, sf_dir).select("event_id", "ts",
+                                                  "lon", "lat")
     out = tube_select(pts, TUBE_TRACK, radius_m=TUBE_RADIUS,
                       dt_seconds=TUBE_DT)
     return out.select("event_id", F.round("dist_m", 3).alias("dist_m"))
@@ -351,10 +362,8 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-            .select("event_id", "ts")
-        pts = ev.join(_events_points(spark, sf_dir).select(
-            "event_id", "lon", "lat"), "event_id")
+        pts = _events_points_ts(spark, sf_dir).select("event_id", "ts",
+                                                      "lon", "lat")
         k = z3_expr("lon", "lat", "ts", prefix_res=4)
         out = (pts.withColumn("k", k)
                .groupBy(F.col("k.epoch").alias("epoch"),
@@ -397,9 +406,7 @@ def q_mixed_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-            .select("event_id", "ts")
-        pts = ev.join(_events_points(spark, sf_dir), "event_id") \
+        pts = _events_points_ts(spark, sf_dir) \
             .withColumn("cell_prefix", cell_expr("lon", "lat"))
         f = or_(
             and_(bbox(-30.0, -20.0, 40.0, 35.0),
@@ -424,10 +431,7 @@ def q_xz3_bbox_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-            .select("event_id", "ts")
-        pts = ev.join(_events_points(spark, sf_dir)
-                      .select("event_id", "lon", "lat"), "event_id")
+        pts = _events_points_ts(spark, sf_dir)
         boxes = pts.select(
             "event_id",
             (F.col("lon") - 0.5).alias("xmin"),
@@ -652,21 +656,23 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: no SQL hull in DuckDB; geometric invariants pytest-gated
     in tests/test_export.py)."""
     from geomesa_spark.operators.export import convex_hull_agg
-    pts = _events_points(spark, sf_dir)
-    return convex_hull_agg(pts.join(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "user_id"), "event_id"),
-        group_cols=["user_id"])
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
+    return convex_hull_agg(pts, group_cols=["user_id"])
 
 
 def q_bin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BinAggregatingScan: 16-byte BIN viz records per event (rows-only;
     byte layout pytest-gated)."""
     from geomesa_spark.operators.export import to_bin_records
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
-        .select("event_id", "ts", "user_id")
-    pts = ev.join(_events_points(spark, sf_dir)
-                  .select("event_id", "lon", "lat"), "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id", "ts", "user_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
     out = to_bin_records(pts, track="user_id")
     return out.select("track_hash", F.length("bin").alias("nbytes"))
 
