@@ -375,6 +375,23 @@ def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def q_xz2_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ2 range query over EXTENDED geometries (no time): each event
+    becomes a 1.0 x 0.5 degree box indexed by its XZ2 sequence code; the
+    bbox query prunes with sargable BETWEEN ranges on the code column and
+    refines exactly — value-checked against the plain bbox-intersect SQL."""
+    from geomesa_spark.operators.xz2_query import with_xz2, xz2_bbox_query
+    pts = _events_points(spark, sf_dir)
+    boxes = pts.select(
+        "event_id",
+        (F.col("lon") - 0.5).alias("xmin"),
+        (F.col("lat") - 0.25).alias("ymin"),
+        (F.col("lon") + 0.5).alias("xmax"),
+        (F.col("lat") + 0.25).alias("ymax"))
+    out = xz2_bbox_query(with_xz2(boxes), (-30.0, -20.0, 40.0, 35.0))
+    return out.select("event_id")
+
+
 def q_s2_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 cell mode (S2SFC parity): assign level-6 S2 cell ids (cube-face
     Hilbert curve), prune a high-latitude bbox query with the S2 cover,
@@ -720,6 +737,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z3_heatmap": q_z3_heatmap,
         "xz3_bbox_time": q_xz3_bbox_time,
         "mixed_filter": q_mixed_filter,
+        "xz2_bbox": q_xz2_bbox,
         "s2_bbox_query": q_s2_bbox_query,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1086,6 +1104,12 @@ def oracle_sql() -> dict[str, str]:
                    AND d.lat > 0.0 AND d.lat < 50.0
                    AND e.value > 300.0)
             ORDER BY e.event_id""",
+        # XZ2 prune+refine == plain bbox-intersect over the derived boxes
+        "xz2_bbox": f"""
+            SELECT event_id FROM {pts}
+            WHERE lon - 0.5 <= 40.0 AND lon + 0.5 >= -30.0
+              AND lat - 0.25 <= 35.0 AND lat + 0.25 >= -20.0
+            ORDER BY event_id""",
         # S2 cover-prune + exact refine == the plain bbox predicate
         "s2_bbox_query": f"""
             SELECT event_id FROM {pts}
