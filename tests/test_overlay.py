@@ -163,3 +163,39 @@ class TestConcaveOverlay:
             return "POLYGON((" + ", ".join(
                 f"{p[0]} {p[1]}" for p in pts) + "))"
         _mc_check(stair(0, 0), stair(1.5, 0.5), n=2500, seed=seed)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_star_polygons(trial):
+    """Non-rectilinear concave pairs (random star polygons): MC
+    classification + area conservation — the regression net for the
+    boundary-walk overlay's float-geometry handling."""
+    from geomesa_spark.geo.model import Polygon
+
+    def star(rng, cx, cy, n=9, rmin=0.5, rmax=3.0):
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        if np.min(np.diff(ang)) < 1e-3:
+            ang = ang + np.linspace(0, 1e-2, n)
+        r = rng.uniform(rmin, rmax, n)
+        ring = np.column_stack([cx + r * np.cos(ang),
+                                cy + r * np.sin(ang)])
+        return Polygon(np.vstack([ring, ring[:1]]))
+
+    rng = np.random.default_rng(3000 + trial)
+    a = star(rng, 0.0, 0.0)
+    b = star(rng, rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5))
+    inter = intersection(a, b)
+    diff = difference(a, b)
+    ia = geo_area(inter) if not inter.is_empty() else 0.0
+    da = geo_area(diff) if not diff.is_empty() else 0.0
+    np.testing.assert_allclose(ia + da, geo_area(a), rtol=1e-6)
+    pts = rng.uniform(-4, 4, size=(600, 2))
+    for x, y in pts:
+        la, lb = locate(a, x, y), locate(b, x, y)
+        if la == "B" or lb == "B":
+            continue
+        want_i = la == "I" and lb == "I"
+        want_d = la == "I" and lb == "E"
+        gi = (locate(inter, x, y) == "I") if not inter.is_empty() else False
+        gd = (locate(diff, x, y) == "I") if not diff.is_empty() else False
+        assert gi == want_i and gd == want_d, (trial, x, y)
