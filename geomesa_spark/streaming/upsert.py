@@ -125,6 +125,24 @@ def upsert_stream(events: DataFrame, *, ttl_seconds: int | None = None,
                                     "append", timeout))
 
 
+def replay_stream(spark, path: str, *, schema: str,
+                  start_ts: str | None = None,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Replay/read-back of a persisted upsert log as a stream — the
+    Kafka consumer's startingOffsets semantics (KafkaDataStoreParams.
+    scala:100-108) over the file-source stand-in: ``start_ts`` replays
+    from an event-time offset (earliest = None), and
+    ``max_files_per_trigger`` paces the replay like a bounded consumer.
+    Feed the result to ``upsert_stream`` to rebuild the live cache."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    out = r.parquet(path)
+    if start_ts is not None:
+        out = out.where(F.col("ts") >= F.lit(start_ts).cast("timestamp"))
+    return out
+
+
 def live_snapshot(changelog: DataFrame, *,
                   bbox: tuple[float, float, float, float] | None = None,
                   key: str = "key", ts: str = "ts") -> DataFrame:

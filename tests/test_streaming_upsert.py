@@ -163,3 +163,37 @@ class TestLiveSnapshot:
         hits = {r["key"] for r in live_snapshot(
             changelog, bbox=(5.0, 5.0, 20.0, 20.0)).collect()}
         assert hits == {"c"}
+
+    def test_replay_from_time_offset(self, spark, tmp_path):
+        """replay_stream(start_ts): rebuilding the cache from a later
+        offset ignores events before the offset (startingOffsets
+        semantics over the file-source stand-in)."""
+        import datetime as dt
+        from geomesa_spark.streaming.upsert import (live_snapshot,
+                                                    replay_stream,
+                                                    upsert_stream)
+        schema = ("key string, op string, ts timestamp, lon double, "
+                  "lat double, payload string")
+        t = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "log")
+        spark.createDataFrame(
+            [("a", "put", t, 1.0, 1.0, "old"),
+             ("a", "put", t + dt.timedelta(seconds=10), 2.0, 2.0, "new"),
+             ("b", "put", t + dt.timedelta(seconds=1), 3.0, 3.0, "early")],
+            schema).write.parquet(src)
+        out_dir = str(tmp_path / "out")
+        q = (upsert_stream(replay_stream(
+                spark, src, schema=schema,
+                start_ts="2024-01-01 00:00:05",
+                max_files_per_trigger=1))
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        changelog = spark.read.schema(
+            "key string, op string, ts timestamp, lon double, "
+            "lat double, payload string").parquet(out_dir)
+        live = {r["key"]: r["payload"]
+                for r in live_snapshot(changelog).collect()}
+        assert live == {"a": "new"}  # pre-offset events replay-skipped
