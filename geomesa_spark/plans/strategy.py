@@ -149,6 +149,56 @@ def _attr_fraction(f, cardinality: dict) -> dict[str, float]:
     return out
 
 
+def _first_attr_pred(f, column: str):
+    """The AND-reachable predicate on ``column`` usable against the
+    secondary index (equality/IN/range), or None."""
+    def visit(node, positive):
+        if isinstance(node, FL.Attr) and positive \
+                and node.column == column \
+                and node.op in ("=", "in", "<", "<=", ">", ">="):
+            return node
+        if isinstance(node, FL.And):
+            for p in node.parts:
+                r = visit(p, positive)
+                if r is not None:
+                    return r
+        if isinstance(node, FL.Not):
+            return visit(node.part, not positive)
+        return None
+    return visit(FL._push_not(f), True)
+
+
+def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
+                       stats: dict,
+                       attr_indexes: dict[str, str] | None = None,
+                       id_col: str = "id",
+                       cell_col: str = "cell_prefix",
+                       week_col: str | None = None,
+                       lon: str = "lon", lat: str = "lat",
+                       ts: str = "ts",
+                       res: int = PARTITION_RES,
+                       allow_full_scan: bool = False) -> DataFrame:
+    """Decide AND execute: when the decider picks an attribute strategy
+    with a built secondary index, prune by index lookup (semi-join-back)
+    and refine with the FULL filter; otherwise fall through to the
+    cell/week planner. A wrong cost estimate can only cost time — the
+    exact refine always re-applies the whole filter."""
+    s = decide(f, stats, res=res, allow_full_scan=allow_full_scan)
+    if s.kind == "attribute" and attr_indexes \
+            and s.attribute in attr_indexes:
+        pred = _first_attr_pred(f, s.attribute)
+        if pred is not None:
+            pruned = attribute_index_lookup(
+                spark, attr_indexes[s.attribute], df, id_col=id_col,
+                op=pred.op, value=pred.value)
+            return pruned.where(FL.to_refine_column(
+                f, lon=lon, lat=lat, ts=ts))
+    return FL.plan_query(df, f, cell_col=cell_col, week_col=week_col,
+                         lon=lon, lat=lat, ts=ts, res=res,
+                         allow_full_scan=allow_full_scan or
+                         s.kind == "full")
+
+
 def decide(f, stats: dict, *, res: int = PARTITION_RES,
            allow_full_scan: bool = False) -> Strategy:
     """Pick the cheapest primary strategy for ``f`` (StrategyDecider

@@ -104,3 +104,38 @@ class TestAttributeIndex:
         assert 2 <= stats["cardinality"]["tag"] <= 4
         write_stats(stats, str(tmp_path))
         assert read_stats(str(tmp_path)) == stats
+
+
+class TestPlanWithStrategy:
+    def test_attribute_route_matches_planner_route(self, spark, tmp_path):
+        """decide->execute integration: the attribute-index route and the
+        cell-planner route return the SAME rows for the same filter."""
+        from geomesa_spark.cells import PARTITION_RES
+        from geomesa_spark.cells.native import cell_expr
+        from geomesa_spark.plans.strategy import plan_with_strategy
+        rng = np.random.default_rng(19)
+        df = (spark.createDataFrame(
+            [(int(i), int(rng.integers(0, 2000)), float(x), float(y))
+             for i, (x, y) in enumerate(zip(
+                 rng.uniform(-60, 60, 4000), rng.uniform(-50, 50, 4000)))],
+            "id long, user long, lon double, lat double")
+            .withColumn("cell_prefix",
+                        cell_expr("lon", "lat", PARTITION_RES))).cache()
+        idx_path = str(tmp_path / "user_idx")
+        build_attribute_index(df, idx_path, column="user", id_col="id")
+        stats = {"rows": 4000, "cardinality": {"user": 2000}}
+        f = and_(bbox(-60.0, -50.0, 60.0, 50.0), Attr("user", "=", 77))
+        # high-cardinality equality -> attribute index route
+        got = {r["id"] for r in plan_with_strategy(
+            spark, df, f, stats=stats,
+            attr_indexes={"user": idx_path}).collect()}
+        from geomesa_spark.plans.filters import plan_query
+        want = {r["id"] for r in plan_query(df, f).collect()}
+        assert got == want
+        # spatially tight filter -> planner route, same answer
+        f2 = and_(bbox(-2.0, -2.0, 2.0, 2.0), Attr("user", ">", 0))
+        got2 = {r["id"] for r in plan_with_strategy(
+            spark, df, f2, stats=stats,
+            attr_indexes={"user": idx_path}).collect()}
+        want2 = {r["id"] for r in plan_query(df, f2).collect()}
+        assert got2 == want2
