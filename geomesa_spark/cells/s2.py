@@ -248,43 +248,97 @@ def _bbox_overlap(qx0, qy0, qx1, qy1, lat0, lat1, lon0, lon1) -> bool:
     return any(not (b < qx0 or a > qx1) for a, b in spans)
 
 
-def s2_cover_bbox(qx0: float, qy0: float, qx1: float, qy1: float,
-                  level: int = 10,
-                  max_cells: int = 4096) -> np.ndarray:
-    """Level-``level`` cells that may intersect the query bbox (sound
-    over-selection via the cap-bbox test). BFS descent from the 6 face
-    cells; when the budget would overflow, remaining frontier cells are
-    emitted as their whole child subtrees at ``level`` — bounded, sound.
+def _cell_range_u(face: int, i: int, j: int, lvl: int,
+                  target_level: int) -> tuple[int, int]:
+    """Unsigned id range covering every level-``target_level`` descendant
+    of cell (face, i, j, lvl): [cid - lowbit + 1, cid + lowbit - 1]
+    clipped inward so the endpoints land exactly on the first/last
+    target-level id (canonical lsb-marker encoding)."""
+    pos = int(_ij_to_pos(np.asarray([face]), np.asarray([i]),
+                         np.asarray([j]), lvl)[0])
+    shift = 2 * (S2_MAX_LEVEL - lvl)
+    lowbit = 1 << shift
+    cid = (face << 61) | (pos << (shift + 1)) | lowbit
+    t = 1 << (2 * (S2_MAX_LEVEL - target_level))
+    return cid - lowbit + t, cid + lowbit - t
+
+
+def s2_cover_ranges(qx0: float, qy0: float, qx1: float, qy1: float,
+                    level: int = 10,
+                    max_ranges: int = 4096) -> np.ndarray:
+    """Budget-BOUNDED cover of the query bbox as merged, sorted id ranges
+    (shape (k, 2) int64, inclusive endpoints, signed-64 Spark space).
+
+    A level-``level`` cell id falls inside one of the ranges iff its cell
+    may intersect the bbox (sound over-selection). The BFS stops
+    descending a frontier cell when the budget would overflow and emits
+    that cell's whole descendant range instead — so the output is always
+    <= max_ranges entries, regardless of how large the bbox is. This is
+    the reference's scan-range form (S2IndexKeySpace.getRangeBytes
+    emits BoundedByteRange scan ranges, not cell membership lists).
     """
-    out: set[int] = set()
+    ranges: list[tuple[int, int]] = []
     queue = deque((f, 0, 0, 0) for f in range(6))  # face, i, j, lvl
     while queue:
         face, i, j, lvl = queue.popleft()
         lat0, lat1, lon0, lon1 = _cell_cap_bbox(face, i, j, lvl)
         if not _bbox_overlap(qx0, qy0, qx1, qy1, lat0, lat1, lon0, lon1):
             continue
-        if lvl == level:
-            pos = _ij_to_pos(np.asarray([face]), np.asarray([i]),
-                             np.asarray([j]), level)[0]
-            shift = 2 * (S2_MAX_LEVEL - level)
-            out.add(_signed64((face << 61) | (int(pos) << (shift + 1))
-                              | (1 << shift)))
-            continue
-        if len(out) + len(queue) * 4 > max_cells:
-            # budget: enumerate this subtree wholesale (still sound)
-            step = 1 << (level - lvl)
-            shift = 2 * (S2_MAX_LEVEL - level)
-            cis = np.repeat(np.arange(i * step, (i + 1) * step), step)
-            cjs = np.tile(np.arange(j * step, (j + 1) * step), step)
-            poss = _ij_to_pos(np.full(len(cis), face), cis, cjs, level)
-            for pos in poss.tolist():
-                out.add(_signed64((face << 61) | (pos << (shift + 1))
-                                  | (1 << shift)))
+        if lvl == level or len(ranges) + len(queue) * 4 >= max_ranges:
+            ranges.append(_cell_range_u(face, i, j, lvl, level))
             continue
         for ci in (2 * i, 2 * i + 1):
             for cj in (2 * j, 2 * j + 1):
                 queue.append((face, ci, cj, lvl + 1))
-    return np.asarray(sorted(out), dtype=np.int64)
+    if not ranges:
+        return np.empty((0, 2), dtype=np.int64)
+    # merge touching/overlapping ranges (adjacent Hilbert cells are
+    # contiguous in id space, so dense covers collapse hard)
+    t = 1 << (2 * (S2_MAX_LEVEL - level))
+    ranges.sort()
+    merged: list[list[int]] = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        # never merge across 2^63 (face 3|4 seam): a straddling range
+        # would map to (positive lo, negative hi) in signed Spark space
+        if lo <= merged[-1][1] + 2 * t and (lo >= 1 << 63) == (
+                merged[-1][0] >= 1 << 63):
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    # face subtrees never straddle 2^63, so signed mapping keeps lo<=hi
+    return np.asarray([[_signed64(lo), _signed64(hi)] for lo, hi in merged],
+                      dtype=np.int64)
+
+
+def s2_cover_bbox(qx0: float, qy0: float, qx1: float, qy1: float,
+                  level: int = 10,
+                  max_cells: int = 4096) -> np.ndarray:
+    """Explicit level-``level`` cells that may intersect the query bbox
+    (sound over-selection via the cap-bbox test). The expansion is
+    HARD-BOUNDED: if the exact cover would exceed ``max_cells`` ids a
+    ValueError points the caller at :func:`s2_cover_ranges`, whose output
+    is bounded by construction (membership lists in the millions belong
+    in range predicates, not Column.isin literals)."""
+    ranges = s2_cover_ranges(qx0, qy0, qx1, qy1, level, max_cells)
+    if len(ranges) == 0:
+        return np.empty(0, dtype=np.int64)
+    step = 1 << (2 * (S2_MAX_LEVEL - level) + 1)
+    u = ranges.astype(np.uint64)
+    total = int(((u[:, 1] - u[:, 0]) // np.uint64(step) + 1).sum())
+    if total > max_cells:
+        raise ValueError(
+            f"exact level-{level} cover needs {total} cells "
+            f"(> max_cells={max_cells}); use s2_cover_ranges() and prune "
+            "with range predicates instead of isin membership")
+    # NOTE: np.arange(start, stop) computes its length in float64 for
+    # values near 2^60+ and silently drops the last id — build each
+    # expansion as lo + step * arange(n) with the count from exact
+    # integer math instead.
+    out = np.concatenate([
+        u[r, 0] + np.uint64(step) * np.arange(
+            (int(u[r, 1]) - int(u[r, 0])) // step + 1, dtype=np.uint64)
+        for r in range(len(u))]).astype(np.int64)
+    return np.sort(out)
 
 
 def udf_s2_cell(level: int = 16):

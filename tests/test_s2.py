@@ -7,9 +7,12 @@ from __future__ import annotations
 
 import numpy as np
 
+import pytest
+
 from geomesa_spark.cells.s2 import (S2_MAX_LEVEL, _ij_to_pos,
                                     _pos_to_ij_arr, s2_cell_center,
-                                    s2_cell_id, s2_cover_bbox, s2_decode,
+                                    s2_cell_id, s2_cover_bbox,
+                                    s2_cover_ranges, s2_decode,
                                     s2_parent, s2_token)
 
 
@@ -114,8 +117,15 @@ class TestCellId:
         assert 1 <= len(t) <= 16 and t == t.rstrip("0")
 
 
+def _in_ranges(ids: np.ndarray, ranges: np.ndarray) -> np.ndarray:
+    hit = np.zeros(len(ids), dtype=bool)
+    for lo, hi in ranges.tolist():
+        hit |= (ids >= lo) & (ids <= hi)
+    return hit
+
+
 class TestCover:
-    def test_cover_soundness(self):
+    def test_cover_ranges_soundness(self):
         rng = np.random.default_rng(27)
         for (qx0, qy0, qx1, qy1) in [(-20, -10, 30, 25),
                                      (100, 40, 140, 60),
@@ -123,12 +133,24 @@ class TestCover:
                                      (170, -10, 179.9, 10),  # near dateline
                                      (-5, -5, 5, 5)]:
             level = 8
-            cover = set(s2_cover_bbox(qx0, qy0, qx1, qy1, level).tolist())
+            ranges = s2_cover_ranges(qx0, qy0, qx1, qy1, level)
+            assert len(ranges) <= 4096
+            assert np.all(ranges[:, 0] <= ranges[:, 1])
             lon = rng.uniform(qx0, qx1, 4000)
             lat = rng.uniform(qy0, qy1, 4000)
             ids = s2_cell_id(lon, lat, level)
-            missing = [i for i in ids.tolist() if i not in cover]
-            assert not missing, (qx0, qy0, qx1, qy1, len(missing))
+            assert _in_ranges(ids, ranges).all(), (qx0, qy0, qx1, qy1)
+
+    def test_cover_bbox_matches_ranges(self):
+        level = 8
+        cells = s2_cover_bbox(-20, -10, 30, 25, level, max_cells=50_000)
+        ranges = s2_cover_ranges(-20, -10, 30, 25, level, 50_000)
+        assert _in_ranges(cells, ranges).all()
+        # and the expansion is exactly the ids the ranges contain
+        step = 1 << (2 * (S2_MAX_LEVEL - level) + 1)
+        total = sum((int(hi) - int(lo)) // step + 1
+                    for lo, hi in ranges.tolist())
+        assert total == len(cells)
 
     def test_cover_selectivity(self):
         cover = s2_cover_bbox(-5, -5, 5, 5, 8)
@@ -137,3 +159,18 @@ class TestCover:
     def test_cover_budget(self):
         cover = s2_cover_bbox(-180, -90, 180, 90, 6, max_cells=100_000)
         assert len(cover) == 6 * 4 ** 6  # whole world = every cell
+
+    def test_cover_ranges_bounded_near_global(self):
+        # the ADVICE repro: near-global bbox at level 10 must stay
+        # bounded (was 6.2M cells / ~12 s before the range form)
+        ranges = s2_cover_ranges(-179.9, -89.9, 179.9, 89.9, 10,
+                                 max_ranges=4096)
+        assert 0 < len(ranges) <= 4096
+        rng = np.random.default_rng(28)
+        lon, lat = rng.uniform(-179, 179, 2000), rng.uniform(-89, 89, 2000)
+        ids = s2_cell_id(lon, lat, 10)
+        assert _in_ranges(ids, ranges).all()
+
+    def test_cover_bbox_raises_over_budget(self):
+        with pytest.raises(ValueError, match="s2_cover_ranges"):
+            s2_cover_bbox(-179.9, -89.9, 179.9, 89.9, 10, max_cells=4096)
