@@ -612,18 +612,17 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stats_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch stats (rows-only: sketch encodings are engine-specific):
-    HLL cardinality (MinMax stat's HyperLogLog), count-min-sketch bytes
-    (Frequency stat), per-type approx quantiles (Histogram stat)."""
+    """Stat-query surface (Stats process: cardinality + quantiles per
+    type). Value-checked: exact distinct + exact interpolated percentile
+    (DuckDB quantile_cont twin). The approximate-sketch variants
+    (approx_count_distinct / count_min_sketch / percentile_approx) have
+    no cross-engine oracle and are bound-gated in
+    tests/test_stats_sketches.py instead."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.length(F.count_min_sketch("user_id", F.lit(0.01), F.lit(0.95),
-                                    F.lit(42))).alias("cms_bytes"),
-        # scalar columns (not array<double>): the driver canonicalizer
-        # sorts/factorizes values and cannot hash list cells
-        F.percentile_approx("value", F.lit(0.5), 10_000).alias("q50"),
-        F.percentile_approx("value", F.lit(0.95), 10_000).alias("q95"))
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("q95"))
 
 
 def q_density_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,29 +668,48 @@ def q_region_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConvexHull UDAF: per-user hull of event positions as WKT
-    (rows-only: no SQL hull in DuckDB; geometric invariants pytest-gated
-    in tests/test_export.py)."""
+    """ConvexHull UDAF (partial-hull merge) + st_geomFromWKT/st_numPoints/
+    st_area over the result, value-checked against a DuckDB recursive
+    gift-wrapping oracle. Coordinates are the exact integer event grid so
+    every cross product is exact in float64 — the two hull algorithms
+    (monotone chain here, gift wrap in SQL) provably agree. Hull WKT
+    strings themselves are byte-layout-gated in tests/test_export.py."""
     from geomesa_spark.operators.export import convex_hull_agg
+    _ensure_functions(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     pts = ev.select(
         "user_id",
-        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
-        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
-    return convex_hull_agg(pts, group_cols=["user_id"])
+        (F.col("event_id") * 7919 % 36000).cast("double").alias("lon"),
+        (F.col("event_id") * 104729 % 18000).cast("double").alias("lat"))
+    hulls = convex_hull_agg(pts, group_cols=["user_id"])
+    n_pts = F.expr("st_numPoints(st_geomFromWKT(hull_wkt))")
+    return hulls.select(
+        "user_id",
+        F.when(F.col("hull_wkt").startswith("POLYGON"), n_pts - 1)
+        .otherwise(n_pts).cast("long").alias("n_vertices"),
+        F.round(F.expr("st_area(st_geomFromWKT(hull_wkt))"), 1)
+        .alias("area"))
 
 
 def q_bin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BinAggregatingScan: 16-byte BIN viz records per event (rows-only;
-    byte layout pytest-gated)."""
+    """BinAggregatingScan: 16-byte BIN viz records per event. The decoded
+    record fields (epoch seconds, float32 lat/lon, record width) are
+    value-checked against SQL recomputation; the crc32 track hash and the
+    packed byte layout have no DuckDB twin and are pytest-gated
+    (tests/test_export.py)."""
     from geomesa_spark.operators.export import to_bin_records
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     pts = ev.select(
         "event_id", "ts", "user_id",
         ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
         ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
-    out = to_bin_records(pts, track="user_id")
-    return out.select("track_hash", F.length("bin").alias("nbytes"))
+    out = to_bin_records(pts, track="user_id", passthrough=("event_id",),
+                         emit_fields=True)
+    return out.select(
+        "event_id", "secs",
+        F.col("lat32").cast("double").alias("lat32"),
+        F.col("lon32").cast("double").alias("lon32"),
+        F.length("bin").alias("nbytes"))
 
 
 def q_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,13 +1229,76 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[]))
                   >= 0.4
             ORDER BY a, b""",
+        "stats_sketches": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   round(quantile_cont(value, 0.5), 6) AS q50,
+                   round(quantile_cont(value, 0.95), 6) AS q95
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "bin_export": """
+            SELECT event_id,
+                   CAST(floor(epoch(ts)) AS INT) AS secs,
+                   CAST(CAST((event_id*104729%18000)/100.0-90.0 AS FLOAT)
+                        AS DOUBLE) AS lat32,
+                   CAST(CAST((event_id*7919%36000)/100.0-180.0 AS FLOAT)
+                        AS DOUBLE) AS lon32,
+                   16 AS nbytes
+            FROM events ORDER BY event_id""",
+        "geojson_export": """
+            SELECT '{"type":"Feature","id":' || event_id ||
+                   ',"geometry":{"type":"Point","coordinates":[' ||
+                   CAST((event_id*7919%36000)/100.0-180.0 AS VARCHAR) ||
+                   ',' ||
+                   CAST((event_id*104729%18000)/100.0-90.0 AS VARCHAR) ||
+                   ']},"properties":{"event_id":' || event_id ||
+                   '}}' AS geojson
+            FROM events""",
+        # convex_hull: recursive gift-wrapping walk over the exact integer
+        # event grid. Every cross product is a sum/product of <=2^36-scale
+        # integers in float64 (exact), so the CCW walk reproduces the
+        # monotone-chain hull vertex-for-vertex deterministically.
+        "convex_hull": """
+            WITH RECURSIVE
+            pts AS (SELECT DISTINCT user_id AS u,
+                    CAST(event_id*7919%36000 AS DOUBLE) AS x,
+                    CAST(event_id*104729%18000 AS DOUBLE) AS y
+                    FROM events),
+            strt AS (
+              SELECT u, x, y FROM (
+                SELECT u, x, y,
+                       row_number() OVER (PARTITION BY u ORDER BY x, y) rn
+                FROM pts) t WHERE rn = 1),
+            walk(u, step, cx, cy, sx, sy, closed) AS (
+              SELECT u, 0, x, y, x, y, FALSE FROM strt
+              UNION ALL
+              SELECT u, step+1, nx, ny, sx, sy,
+                     (nx = sx AND ny = sy) FROM (
+                SELECT w.u, w.step, w.sx, w.sy, p.x AS nx, p.y AS ny,
+                  row_number() OVER (PARTITION BY w.u ORDER BY
+                    (p.x-w.cx)*(p.x-w.cx)+(p.y-w.cy)*(p.y-w.cy) DESC) rn
+                FROM walk w JOIN pts p ON p.u = w.u
+                  AND (p.x <> w.cx OR p.y <> w.cy)
+                  AND NOT w.closed
+                  AND NOT EXISTS (SELECT 1 FROM pts r WHERE r.u = w.u
+                    AND ((p.x-w.cx)*(r.y-w.cy)
+                         - (p.y-w.cy)*(r.x-w.cx)) < 0)
+              ) t WHERE rn = 1 AND step < 1000
+            ),
+            seg AS (SELECT u, step, cx, cy,
+                      lead(cx) OVER (PARTITION BY u ORDER BY step) AS nx,
+                      lead(cy) OVER (PARTITION BY u ORDER BY step) AS ny
+                    FROM walk)
+            SELECT u AS user_id,
+                   count(*) AS n_vertices,
+                   round(abs(sum(cx*ny - nx*cy)) / 2.0, 1) AS area
+            FROM seg WHERE nx IS NOT NULL
+            GROUP BY u ORDER BY user_id""",
     }
     # Deliberately rows-only (no oracle entry): image_tile_counts +
-    # image_brightness (sha256 phash / Gaussian clusters / pixel decode not
-    # SQL-expressible; pytest-gated per-row invariants), convex_hull (no
-    # SQL hull; geometric invariants in tests/test_export.py), bin_export +
-    # geojson_export (byte layouts pytest-gated), stats_sketches (sketch
-    # encodings are engine-specific).
+    # image_brightness — the fixture's pixels come from sha256-seeded
+    # Gaussian clusters and the decode step is a pandas-UDF codec, neither
+    # SQL-expressible; per-row invariants (PSNR>=40dB decode fidelity,
+    # tile math via the value-checked cell_assignment) are pytest-gated in
+    # tests/test_tiles.py + tests/test_codec.py.
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame, functions as F
 
 def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
                    lon: str = "lon", lat: str = "lat",
-                   label: str | None = None) -> DataFrame:
+                   label: str | None = None,
+                   passthrough: tuple[str, ...] = (),
+                   emit_fields: bool = False) -> DataFrame:
     """Encode rows into BIN records: (track_hash, payload binary).
 
     track id = crc32 of the UTF-8 track string as int32 — a pinned,
@@ -40,10 +42,22 @@ def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
     epoch seconds int32;
     lat/lon float32 little-endian. Output column ``bin`` is 16 (or 24 with
     label) bytes per row; downstream concatenation yields the wire format.
+
+    ``passthrough`` columns are carried alongside each record (the
+    reference keeps feature ids with BIN rows in sorted mode);
+    ``emit_fields=True`` additionally emits the decoded record fields
+    (``secs`` int, ``lat32``/``lon32`` float) so the packed values can be
+    cross-checked against an external recomputation.
     """
     fmt = "<iiff" + ("8s" if label else "")
-    out_schema = "track_hash int, bin binary"
-    cols = [track, ts, lon, lat] + ([label] if label else [])
+    pt = list(passthrough)
+    pt_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in df.schema.fields if f.name in pt)
+    fields_schema = ("secs int, lat32 float, lon32 float, "
+                     if emit_fields else "")
+    out_schema = f"{pt_schema}{fields_schema}track_hash int, bin binary"
+    cols = pt + [track, ts, lon, lat] + ([label] if label else [])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -64,7 +78,11 @@ def to_bin_records(df: DataFrame, *, track: str, ts: str = "ts",
             else:
                 recs = [struct.pack(fmt, int(a), int(b), float(c), float(d))
                         for a, b, c, d in zip(th, secs, la, lo)]
-            yield pd.DataFrame({"track_hash": th, "bin": recs})
+            out = {c: pdf[c].to_numpy() for c in pt}
+            if emit_fields:
+                out.update({"secs": secs, "lat32": la, "lon32": lo})
+            out.update({"track_hash": th, "bin": recs})
+            yield pd.DataFrame(out)
 
     return df.select(*cols).mapInPandas(encode, out_schema)
 
