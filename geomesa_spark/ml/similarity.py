@@ -105,44 +105,7 @@ def lsh_signatures(df: DataFrame, *, n_planes: int = 16, dim: int = 64,
     return d.withColumnRenamed("_bks", out)
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
-             n_planes: int = 6, n_tables: int = 8, dim: int = 64,
-             seed: int = 11, id_col: str = "vec_id",
-             vec_col: str = "embedding", query_id_col: str = "query_id",
-             multiprobe: int = 1) -> DataFrame:
-    """Approximate top-k: candidates = union over L hash tables of vectors
-    sharing the query's bucket (plus, with multiprobe=1, buckets at hamming
-    distance 1). Multi-table LSH: for bit-match probability p per plane,
-    recall of a neighbor is 1-(1-p^b)^L — tuned by (n_planes, n_tables).
-    Recall vs the exact baseline is property-tested, not asserted exact."""
-    sig_c = lsh_signatures(corpus, n_planes=n_planes, dim=dim, seed=seed,
-                           vec_col=vec_col, n_tables=n_tables)
-    sig_q = lsh_signatures(queries, n_planes=n_planes, dim=dim, seed=seed,
-                           vec_col=vec_col, n_tables=n_tables)
-    bucket_c = F.explode("bucket").alias("_bk") if n_tables > 1 \
-        else F.col("bucket").alias("_bk")
-    c = sig_c.select(F.col(id_col), F.col(vec_col).alias("_cv"), bucket_c)
-    if n_tables > 1:
-        sig_q = sig_q.withColumn("bucket", F.explode("bucket"))
-    if multiprobe:
-        # probe all buckets within hamming distance ``multiprobe`` of the
-        # query's bucket (flip subsets of sign bits): queries are the tiny
-        # side, so extra probes cost query-side rows, not corpus scans
-        masks: list[int] = [0]
-        if multiprobe >= 1:
-            masks += [1 << b for b in range(n_planes)]
-        if multiprobe >= 2:
-            masks += [(1 << b1) | (1 << b2)
-                      for b1 in range(n_planes)
-                      for b2 in range(b1 + 1, n_planes)]
-        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
-                           for m in masks])
-        sig_q = sig_q.withColumn("bucket", F.explode(probes))
-    q = sig_q.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
-                     F.col("bucket").alias("_bk"))
-    cand = q.join(c, "_bk").drop("_bk") \
-        .dropDuplicates([query_id_col, id_col])
-
+def _pairwise_cos():
     @F.pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.array(list(a), dtype=np.float64)
@@ -152,13 +115,155 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         d = na * nb
         d[d == 0] = 1.0
         return pd.Series((ma * mb).sum(axis=1) / d)
+    return cos
 
-    scored = cand.withColumn("cos", cos("_qv", "_cv"))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+
+def _probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """Sign-bit flip masks for buckets within hamming ``multiprobe``."""
+    masks: list[int] = [0]
+    if multiprobe >= 1:
+        masks += [1 << b for b in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [(1 << b1) | (1 << b2)
+                  for b1 in range(n_planes)
+                  for b2 in range(b1 + 1, n_planes)]
+    return masks
+
+
+def lsh_query_probes(queries: DataFrame, *, n_planes: int = 6,
+                     n_tables: int = 8, dim: int = 64, seed: int = 11,
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     multiprobe: int = 1) -> DataFrame:
+    """(query_id, query vector, probed bucket) — one row per (query,
+    table, hamming-``multiprobe`` flip). Queries are the tiny side: extra
+    probes cost query-side rows only, never corpus scans."""
+    sig_q = lsh_signatures(queries, n_planes=n_planes, dim=dim, seed=seed,
+                           vec_col=vec_col, n_tables=n_tables)
+    if n_tables > 1:
+        sig_q = sig_q.withColumn("bucket", F.explode("bucket"))
+    if multiprobe:
+        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                           for m in _probe_masks(n_planes, multiprobe)])
+        sig_q = sig_q.withColumn("bucket", F.explode(probes))
+    return sig_q.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                        F.col("bucket").alias("_bk"))
+
+
+def _rank_topk(scored: DataFrame, k: int, *, id_col: str,
+               query_id_col: str) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"),
+                                                 F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col,
                     F.round(F.col("cos"), 6).alias("cos")))
+
+
+def build_lsh_index(corpus: DataFrame, path: str, *,
+                    n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+                    seed: int = 11, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Write-time LSH signature index (the toIndexKey analog for ANN):
+    one stored row per (table-folded bucket, vector id), hive-partitioned
+    by the bucket so a query's probed buckets become PARTITION-PRUNED
+    scans — the signature computation and the corpus x n_tables expansion
+    happen ONCE at ingest, never per query.
+
+    Partition count = n_tables * 2^n_planes (512 at the defaults). For
+    larger n_planes partition by a bucket prefix (``pmod(bk, P)``) and
+    keep ``bk`` as a stored row-group-pruned column instead."""
+    sig = lsh_signatures(corpus, n_planes=n_planes, dim=dim, seed=seed,
+                         vec_col=vec_col, n_tables=n_tables, out="bucket")
+    if n_tables > 1:
+        rows = sig.select(F.col(id_col), F.explode("bucket").alias("bk"))
+    else:
+        rows = sig.select(F.col(id_col), F.col("bucket").alias("bk"))
+    # one writer task per bucket -> one compact file per partition
+    rows.repartition("bk").write.partitionBy("bk") \
+        .mode("overwrite").parquet(path)
+
+
+def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, k: int, *,
+                     n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+                     seed: int = 11, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k over a STORED bucket-partitioned signature index
+    (``build_lsh_index``) — the scale path:
+
+    1. query signatures + multi-probe expansion (tiny, driver-bounded:
+       |queries| x n_tables x n_masks bucket literals),
+    2. partition-pruned scan of the index restricted to the probed
+       buckets (no corpus-wide signature recompute, no corpus explode),
+    3. candidate ids join back to the corpus by id (broadcast of the
+       bounded candidate set — the big side never shuffles),
+    4. exact cosine + window rank.
+
+    The index must have been built with the same (n_planes, n_tables,
+    dim, seed)."""
+    spark = index.sparkSession
+    # queries are the driver-bounded small side by contract (like a kNN
+    # query set): signatures + probe expansion run in local numpy — the
+    # SAME plane matrix as lsh_signatures — so the distributed plan has
+    # exactly one Python eval (the cosine over pruned candidates)
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    masks = np.asarray(_probe_masks(n_planes, multiprobe), dtype=np.int64)
+    probe_rows = []
+    for t in range(n_tables):
+        bks = ((q_mat @ planes[t]) > 0) @ weights \
+            + (t << np.int64(n_planes + 1))
+        for qid, bk in zip(q_ids, bks.tolist()):
+            probe_rows += [(str(qid), int(bk ^ m)) for m in masks.tolist()]
+    probe_df = spark.createDataFrame(
+        probe_rows, f"{query_id_col} string, bk long").dropDuplicates()
+    probe_vals = sorted({bk for _, bk in probe_rows})
+    # literal isin on the partition column -> partition pruning
+    cand_ids = (index.where(F.col("bk").isin(probe_vals))
+                .join(F.broadcast(probe_df), "bk")
+                .select(query_id_col, id_col)
+                .dropDuplicates([query_id_col, id_col]))
+    cvecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")) \
+        .join(F.broadcast(cand_ids), id_col)
+    qvec_df = spark.createDataFrame(
+        [(str(q), [float(x) for x in v]) for q, v in zip(q_ids, q_mat)],
+        f"{query_id_col} string, _qv array<double>")
+    scored = cvecs.join(F.broadcast(qvec_df), query_id_col) \
+        .withColumn("cos", _pairwise_cos()("_qv", "_cv"))
+    return _rank_topk(scored, k, id_col=id_col, query_id_col=query_id_col)
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+             n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+             seed: int = 11, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k WITHOUT a stored index — the ad-hoc path: corpus
+    signatures are computed inline and the corpus is exploded x n_tables
+    through the bucket join, so cost is O(corpus x n_tables) PER CALL.
+    Use ``build_lsh_index`` + ``lsh_topk_indexed`` for repeated queries
+    or any corpus that doesn't trivially rescan (the 100 TB shape).
+
+    Multi-table LSH: for bit-match probability p per plane, recall of a
+    neighbor is 1-(1-p^b)^L — tuned by (n_planes, n_tables). Recall vs
+    the exact baseline is property-tested, not asserted exact."""
+    sig_c = lsh_signatures(corpus, n_planes=n_planes, dim=dim, seed=seed,
+                           vec_col=vec_col, n_tables=n_tables)
+    bucket_c = F.explode("bucket").alias("_bk") if n_tables > 1 \
+        else F.col("bucket").alias("_bk")
+    c = sig_c.select(F.col(id_col), F.col(vec_col).alias("_cv"), bucket_c)
+    q = lsh_query_probes(
+        queries, n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
+        vec_col=vec_col, query_id_col=query_id_col, multiprobe=multiprobe)
+    cand = q.join(c, "_bk").drop("_bk") \
+        .dropDuplicates([query_id_col, id_col])
+    scored = cand.withColumn("cos", _pairwise_cos()("_qv", "_cv"))
+    return _rank_topk(scored, k, id_col=id_col, query_id_col=query_id_col)
 
 
 def block_pair_near_dup(df: DataFrame, *, threshold: float = 0.9,

@@ -107,12 +107,18 @@ def xz3_query(df: DataFrame, bbox: tuple[float, float, float, float],
               xmin: str = "xmin", ymin: str = "ymin",
               xmax: str = "xmax", ymax: str = "ymax",
               t0: str = "t0", t1: str = "t1",
-              res: int = XZ3_MAX_RES) -> DataFrame:
+              res: int = XZ3_MAX_RES,
+              id_col: str | None = None) -> DataFrame:
     """Rows whose bbox intersects ``bbox`` and whose [t0, t1] interval
     overlaps [t0_s, t1_s] (epoch seconds): XZ3 range prune, exact refine,
     then duplicate drop (write-side epoch duplication — the engine's
     standard cover-duplicate-dedupe contract). ``df`` must carry
-    ``epoch``/``xz3`` (use ``with_xz3``)."""
+    ``epoch``/``xz3`` (use ``with_xz3``).
+
+    ``id_col``: the feature-id column to dedupe on (the reference dedupes
+    by feature id). When None, dedupes on ALL logical columns — which
+    collapses genuinely distinct rows with identical values; pass the id
+    whenever one exists."""
     qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
     pruned = df.where(xz3_range_predicate(bbox, t0_s, t1_s, res=res))
     tsec0 = F.col(t0).cast("timestamp").cast("double")
@@ -121,5 +127,6 @@ def xz3_query(df: DataFrame, bbox: tuple[float, float, float, float],
         (F.col(xmin) <= qx1) & (F.col(xmax) >= qx0)
         & (F.col(ymin) <= qy1) & (F.col(ymax) >= qy0)
         & (tsec0 <= t1_s) & (tsec1 >= t0_s))
-    logical_cols = [c for c in df.columns if c not in ("epoch", "xz3")]
-    return refined.dropDuplicates(logical_cols).drop("epoch", "xz3")
+    dedupe_cols = [id_col] if id_col else \
+        [c for c in df.columns if c not in ("epoch", "xz3")]
+    return refined.dropDuplicates(dedupe_cols).drop("epoch", "xz3")
