@@ -198,10 +198,15 @@ _R_MAJOR = 6378137.0
 def transform(g: Geometry, from_crs: str, to_crs: str) -> Geometry:
     """CRS reprojection (GeometricDistanceFunctions.scala:30-43 surface).
 
-    Supported pairs: EPSG:4326 <-> EPSG:3857 (spherical web mercator) and
-    EPSG:4326 <-> any WGS84 UTM zone (EPSG:326xx north / 327xx south,
-    Krueger-series transverse Mercator, ~1 mm in-zone accuracy). Chains
-    through 4326 for any supported-to-supported pair."""
+    Supported: EPSG:4326 <-> EPSG:3857 (spherical web mercator); any
+    WGS84 UTM zone (EPSG:326xx north / 327xx south, Krueger-series
+    transverse Mercator, ~1 mm in-zone accuracy); and every code in
+    ``PROJ_REGISTRY`` — ellipsoidal Lambert Conformal Conic 2SP (e.g.
+    EPSG:2154 Lambert-93, 3347/3978 Canada Lambert), Albers Equal Area
+    (5070 Conus, 3577 Australian), and Polar Stereographic variant B
+    (3031/3413/3995) — validated against Snyder's published numeric
+    examples. Other codes: ``register_projection``. Chains through 4326
+    for any supported-to-supported pair."""
     f = from_crs.upper().replace("EPSG:", "")
     t = to_crs.upper().replace("EPSG:", "")
     if f == t:
@@ -217,9 +222,14 @@ def _to_4326(g: Geometry, code: str, label: str) -> Geometry:
     zone = _utm_zone(code)
     if zone is not None:
         return _map_coords(g, lambda c: _utm_inverse(c, *zone))
+    proj = _registry_projection(code)
+    if proj is not None:
+        return _map_coords(g, proj.inverse)
     raise NotImplementedError(
-        f"st_transform supports EPSG:4326, EPSG:3857, and WGS84 UTM "
-        f"zones (EPSG:326xx/327xx); got {label}")
+        f"st_transform supports EPSG:4326, EPSG:3857, WGS84 UTM zones "
+        f"(EPSG:326xx/327xx), and the registered conic/polar codes "
+        f"({sorted(PROJ_REGISTRY)}; extend via register_projection); "
+        f"got {label}")
 
 
 def _from_4326(g: Geometry, code: str, label: str) -> Geometry:
@@ -230,9 +240,14 @@ def _from_4326(g: Geometry, code: str, label: str) -> Geometry:
     zone = _utm_zone(code)
     if zone is not None:
         return _map_coords(g, lambda c: _utm_forward(c, *zone))
+    proj = _registry_projection(code)
+    if proj is not None:
+        return _map_coords(g, proj.forward)
     raise NotImplementedError(
-        f"st_transform supports EPSG:4326, EPSG:3857, and WGS84 UTM "
-        f"zones (EPSG:326xx/327xx); got {label}")
+        f"st_transform supports EPSG:4326, EPSG:3857, WGS84 UTM zones "
+        f"(EPSG:326xx/327xx), and the registered conic/polar codes "
+        f"({sorted(PROJ_REGISTRY)}; extend via register_projection); "
+        f"got {label}")
 
 
 def _utm_zone(code: str) -> tuple[int, bool] | None:
@@ -306,6 +321,393 @@ def _from_mercator(c: np.ndarray) -> np.ndarray:
     lon = np.degrees(c[:, 0] / _R_MAJOR)
     lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / _R_MAJOR)) - np.pi / 2)
     return np.column_stack([lon, lat])
+
+
+# ------------------------------------------- conic / polar projections
+#
+# Ellipsoidal Lambert Conformal Conic (2SP), Albers Equal Area, and
+# Polar Stereographic (variant B) per the standard published formulas
+# (Snyder, "Map Projections — A Working Manual", USGS PP 1395, ch. 15,
+# 14 and 21). The reference reaches these through GeoTools' EPSG
+# database (GeometricDistanceFunctions.scala:30-43); here a small
+# registry carries the projection parameters for the common codes and
+# ``register_projection`` accepts any others. Modern datums in the
+# registry (RGF93 / NAD83 / GDA94) are treated as WGS84-coincident
+# (sub-meter, the usual null transformation).
+
+# (semi-major a, eccentricity^2)
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 0.00669437999014132),
+    "GRS80": (6378137.0, 0.00669438002290079),
+    "CLARKE1866": (6378206.4, 0.00676865799729),
+    "INTL1924": (6378388.0, 0.006722670022),
+    # a = 6377563.396, 1/f = 299.3249646 -> e2 = 2f - f^2
+    "AIRY1830": (6377563.396, 0.006670539761597337),
+}
+
+
+def _msnyder(phi: np.ndarray, e: float) -> np.ndarray:
+    return np.cos(phi) / np.sqrt(1 - e * e * np.sin(phi) ** 2)
+
+
+def _tsnyder(phi: np.ndarray, e: float) -> np.ndarray:
+    es = e * np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+
+def _phi_from_t(t: np.ndarray, e: float) -> np.ndarray:
+    """Invert t(phi) by fixed point (Snyder 7-9); converges ~1e-12 rad."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        es = e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(t * ((1 - es) / (1 + es))
+                                        ** (e / 2))
+    return phi
+
+
+def _qsnyder(phi: np.ndarray, e: float) -> np.ndarray:
+    s = np.sin(phi)
+    return (1 - e * e) * (s / (1 - e * e * s * s)
+                          - (1 / (2 * e)) * np.log((1 - e * s)
+                                                   / (1 + e * s)))
+
+
+def _wrap_lon_deg(deg: np.ndarray) -> np.ndarray:
+    return (deg + 180.0) % 360.0 - 180.0
+
+
+class _Lcc2sp:
+    """Lambert Conformal Conic, 2 standard parallels (Snyder 15-1..15-11,
+    ellipsoidal)."""
+
+    def __init__(self, a: float, e2: float, lat0: float, lon0: float,
+                 sp1: float, sp2: float, fe: float, fn: float):
+        self.a, self.e = a, math.sqrt(e2)
+        self.lon0 = math.radians(lon0)
+        self.fe, self.fn = fe, fn
+        p1, p2 = math.radians(sp1), math.radians(sp2)
+        p0 = math.radians(lat0)
+        m1 = float(_msnyder(np.asarray([p1]), self.e)[0])
+        m2 = float(_msnyder(np.asarray([p2]), self.e)[0])
+        t1 = float(_tsnyder(np.asarray([p1]), self.e)[0])
+        t2 = float(_tsnyder(np.asarray([p2]), self.e)[0])
+        t0 = float(_tsnyder(np.asarray([p0]), self.e)[0])
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1)
+                                                  - math.log(t2)) \
+            if sp1 != sp2 else math.sin(p1)
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = self.a * self.F * t0 ** self.n
+
+    def forward(self, c: np.ndarray) -> np.ndarray:
+        lam = np.radians(c[:, 0]) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        phi = np.radians(np.clip(c[:, 1], -89.999999, 89.999999))
+        rho = self.a * self.F * _tsnyder(phi, self.e) ** self.n
+        th = self.n * lam
+        return np.column_stack([self.fe + rho * np.sin(th),
+                                self.fn + self.rho0 - rho * np.cos(th)])
+
+    def inverse(self, c: np.ndarray) -> np.ndarray:
+        x = c[:, 0] - self.fe
+        y = self.rho0 - (c[:, 1] - self.fn)
+        rho = np.sign(self.n) * np.sqrt(x * x + y * y)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        t = (rho / (self.a * self.F)) ** (1 / self.n)
+        phi = _phi_from_t(t, self.e)
+        return np.column_stack([
+            np.degrees(th / self.n + self.lon0), np.degrees(phi)])
+
+
+class _Albers:
+    """Albers Equal Area conic (Snyder 14-1..14-21, ellipsoidal)."""
+
+    def __init__(self, a: float, e2: float, lat0: float, lon0: float,
+                 sp1: float, sp2: float, fe: float, fn: float):
+        self.a, self.e2, self.e = a, e2, math.sqrt(e2)
+        self.lon0 = math.radians(lon0)
+        self.fe, self.fn = fe, fn
+        p1, p2 = math.radians(sp1), math.radians(sp2)
+        p0 = math.radians(lat0)
+        m1 = float(_msnyder(np.asarray([p1]), self.e)[0])
+        m2 = float(_msnyder(np.asarray([p2]), self.e)[0])
+        q1 = float(_qsnyder(np.asarray([p1]), self.e)[0])
+        q2 = float(_qsnyder(np.asarray([p2]), self.e)[0])
+        q0 = float(_qsnyder(np.asarray([p0]), self.e)[0])
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1) if sp1 != sp2 \
+            else math.sin(p1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def forward(self, c: np.ndarray) -> np.ndarray:
+        lam = np.radians(c[:, 0]) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        phi = np.radians(np.clip(c[:, 1], -90.0, 90.0))
+        q = _qsnyder(phi, self.e)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * lam
+        return np.column_stack([self.fe + rho * np.sin(th),
+                                self.fn + self.rho0 - rho * np.cos(th)])
+
+    def inverse(self, c: np.ndarray) -> np.ndarray:
+        x = c[:, 0] - self.fe
+        y = self.rho0 - (c[:, 1] - self.fn)
+        rho = np.sqrt(x * x + y * y)
+        th = np.arctan2(np.sign(self.n) * x, np.sign(self.n) * y)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        # Snyder 3-16 iteration for phi from q
+        phi = np.arcsin(np.clip(q / 2, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            den = 1 - self.e2 * s * s
+            phi = phi + den * den / (2 * np.cos(phi)) * (
+                q / (1 - self.e2) - s / den
+                + np.log((1 - self.e * s) / (1 + self.e * s))
+                / (2 * self.e))
+        return np.column_stack([
+            _wrap_lon_deg(np.degrees(th / self.n + self.lon0)),
+            np.degrees(phi)])
+
+
+class _PolarStereoB:
+    """Polar Stereographic variant B — standard parallel form (Snyder
+    21-1..21-40, EPSG method 9829). ``latf`` < 0 selects the south
+    aspect."""
+
+    def __init__(self, a: float, e2: float, latf: float, lon0: float,
+                 fe: float, fn: float):
+        self.a, self.e = a, math.sqrt(e2)
+        self.south = latf < 0
+        self.lon0 = math.radians(lon0)
+        self.fe, self.fn = fe, fn
+        pf = math.radians(abs(latf))
+        self.mf = float(_msnyder(np.asarray([pf]), self.e)[0])
+        self.tf = float(_tsnyder(np.asarray([pf]), self.e)[0])
+
+    def forward(self, c: np.ndarray) -> np.ndarray:
+        lam = np.radians(c[:, 0]) - self.lon0
+        phi = np.radians(np.clip(c[:, 1], -90.0, 90.0))
+        if self.south:
+            phi, lam = -phi, -lam
+        t = _tsnyder(phi, self.e)
+        rho = self.a * self.mf * t / self.tf
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return np.column_stack([self.fe + x, self.fn + y])
+
+    def inverse(self, c: np.ndarray) -> np.ndarray:
+        x = c[:, 0] - self.fe
+        y = c[:, 1] - self.fn
+        if self.south:
+            x, y = -x, -y
+        rho = np.sqrt(x * x + y * y)
+        t = rho * self.tf / (self.a * self.mf)
+        phi = _phi_from_t(t, self.e)
+        lam = np.arctan2(x, -y)
+        if self.south:
+            phi, lam = -phi, -lam
+        return np.column_stack([
+            _wrap_lon_deg(np.degrees(lam + self.lon0)), np.degrees(phi)])
+
+
+class _Tmerc:
+    """General transverse Mercator (Krueger n-series, order n^3 — the
+    same series as the WGS84 UTM fast path above, with per-instance
+    ellipsoid constants): national grids with arbitrary origin / scale
+    (British National Grid, NZTM, TM state planes)."""
+
+    def __init__(self, a: float, e2: float, lat0: float, lon0: float,
+                 k0: float, fe: float, fn: float):
+        self.a, self.e2, self.e = a, e2, math.sqrt(e2)
+        f = 1 - math.sqrt(1 - e2)
+        n = f / (2.0 - f)
+        self.n = n
+        self.abar = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+        self.alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+                      13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+                      61 * n ** 3 / 240)
+        self.beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+                     n ** 2 / 48 + n ** 3 / 15,
+                     17 * n ** 3 / 480)
+        self.delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+                      7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+                      56 * n ** 3 / 15)
+        self.k0, self.fe, self.fn = k0, fe, fn
+        self.lon0 = math.radians(lon0)
+        # meridian-arc northing of the latitude origin
+        self.m0 = float(self._raw(np.asarray([[lon0, lat0]]))[0, 1])
+
+    def _raw(self, c: np.ndarray) -> np.ndarray:
+        lam = np.radians(c[:, 0]) - self.lon0
+        lam = (lam + np.pi) % (2 * np.pi) - np.pi
+        phi = np.radians(np.clip(c[:, 1], -89.9999, 89.9999))
+        e2n = 2 * math.sqrt(self.n) / (1 + self.n)
+        t = np.sinh(np.arctanh(np.sin(phi))
+                    - e2n * np.arctanh(e2n * np.sin(phi)))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t * t))
+        x, y = eta.copy(), xi.copy()
+        for j, aj in enumerate(self.alpha, start=1):
+            x += aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            y += aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        return np.column_stack([self.k0 * self.abar * x,
+                                self.k0 * self.abar * y])
+
+    def forward(self, c: np.ndarray) -> np.ndarray:
+        xy = self._raw(c)
+        return np.column_stack([self.fe + xy[:, 0],
+                                self.fn + xy[:, 1] - self.m0])
+
+    def inverse(self, c: np.ndarray) -> np.ndarray:
+        x = (c[:, 0] - self.fe) / (self.k0 * self.abar)
+        y = (c[:, 1] - self.fn + self.m0) / (self.k0 * self.abar)
+        xi, eta = y.copy(), x.copy()
+        for j, bj in enumerate(self.beta, start=1):
+            xi -= bj * np.sin(2 * j * y) * np.cosh(2 * j * x)
+            eta -= bj * np.cos(2 * j * y) * np.sinh(2 * j * x)
+        chi = np.arcsin(np.clip(np.sin(xi) / np.cosh(eta), -1.0, 1.0))
+        phi = chi.copy()
+        for j, dj in enumerate(self.delta, start=1):
+            phi += dj * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta), np.cos(xi))
+        return np.column_stack([
+            _wrap_lon_deg(np.degrees(lam + self.lon0)), np.degrees(phi)])
+
+
+class _DatumShifted:
+    """Wrap a projection with a 7-parameter Helmert datum transformation
+    (position-vector convention, h=0 two-dimensional use — the standard
+    national-grid recipe). ``helmert`` maps WGS84 -> the projection
+    datum: (tx, ty, tz meters, s ppm, rx, ry, rz arc-seconds)."""
+
+    def __init__(self, proj, helmert: tuple, ellipsoid: tuple):
+        self.proj = proj
+        self.a_d, self.e2_d = ellipsoid
+        tx, ty, tz, s_ppm, rx, ry, rz = helmert
+        self.t = np.array([tx, ty, tz])
+        self.s = s_ppm * 1e-6
+        as_rad = math.pi / (180.0 * 3600.0)
+        self.r = np.array([rx, ry, rz]) * as_rad
+        self.a = getattr(proj, "a")
+        self.e2 = getattr(proj, "e2", getattr(proj, "e") ** 2)
+
+    @staticmethod
+    def _to_ecef(c: np.ndarray, a: float, e2: float) -> np.ndarray:
+        lam = np.radians(c[:, 0])
+        phi = np.radians(c[:, 1])
+        nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        return np.column_stack([nu * np.cos(phi) * np.cos(lam),
+                                nu * np.cos(phi) * np.sin(lam),
+                                nu * (1 - e2) * np.sin(phi)])
+
+    @staticmethod
+    def _from_ecef(xyz: np.ndarray, a: float, e2: float) -> np.ndarray:
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        p = np.hypot(x, y)
+        phi = np.arctan2(z, p * (1 - e2))
+        for _ in range(6):
+            nu = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+            phi = np.arctan2(z + e2 * nu * np.sin(phi), p)
+        lam = np.arctan2(y, x)
+        return np.column_stack([np.degrees(lam), np.degrees(phi)])
+
+    def _helmert(self, xyz: np.ndarray, invert: bool) -> np.ndarray:
+        s, r, t = self.s, self.r, self.t
+        rot = np.array([[1 + s, -r[2], r[1]],
+                        [r[2], 1 + s, -r[0]],
+                        [-r[1], r[0], 1 + s]])
+        if invert:
+            return (xyz - t) @ np.linalg.inv(rot).T
+        return xyz @ rot.T + t
+
+    def forward(self, c: np.ndarray) -> np.ndarray:
+        a_w, e2_w = ELLIPSOIDS["WGS84"]
+        ecef = self._helmert(self._to_ecef(c, a_w, e2_w), invert=False)
+        return self.proj.forward(self._from_ecef(ecef, self.a, self.e2))
+
+    def inverse(self, c: np.ndarray) -> np.ndarray:
+        a_w, e2_w = ELLIPSOIDS["WGS84"]
+        geo_d = self.proj.inverse(c)
+        ecef = self._helmert(self._to_ecef(geo_d, self.a, self.e2),
+                             invert=True)
+        return self._from_ecef(ecef, a_w, e2_w)
+
+
+_PROJ_KINDS = {"lcc2sp": _Lcc2sp, "albers": _Albers,
+               "ps_b": _PolarStereoB, "tmerc": _Tmerc}
+
+# EPSG code -> (kind, ellipsoid, params). Parameters from the public
+# EPSG definitions of each CRS.
+PROJ_REGISTRY: dict[str, tuple[str, str, dict]] = {
+    # RGF93 / Lambert-93 (France national grid)
+    "2154": ("lcc2sp", "GRS80", dict(lat0=46.5, lon0=3.0, sp1=49.0,
+                                     sp2=44.0, fe=700000.0,
+                                     fn=6600000.0)),
+    # NAD83 / Statistics Canada Lambert
+    "3347": ("lcc2sp", "GRS80", dict(lat0=63.390675, lon0=-91.8666666667,
+                                     sp1=49.0, sp2=77.0, fe=6200000.0,
+                                     fn=3000000.0)),
+    # NAD83 / Canada Atlas Lambert
+    "3978": ("lcc2sp", "GRS80", dict(lat0=49.0, lon0=-95.0, sp1=49.0,
+                                     sp2=77.0, fe=0.0, fn=0.0)),
+    # NAD83 / Conus Albers
+    "5070": ("albers", "GRS80", dict(lat0=23.0, lon0=-96.0, sp1=29.5,
+                                     sp2=45.5, fe=0.0, fn=0.0)),
+    # GDA94 / Australian Albers
+    "3577": ("albers", "GRS80", dict(lat0=0.0, lon0=132.0, sp1=-18.0,
+                                     sp2=-36.0, fe=0.0, fn=0.0)),
+    # WGS 84 / Antarctic Polar Stereographic
+    "3031": ("ps_b", "WGS84", dict(latf=-71.0, lon0=0.0, fe=0.0,
+                                   fn=0.0)),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    "3413": ("ps_b", "WGS84", dict(latf=70.0, lon0=-45.0, fe=0.0,
+                                   fn=0.0)),
+    # WGS 84 / Arctic Polar Stereographic
+    "3995": ("ps_b", "WGS84", dict(latf=71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # OSGB36 / British National Grid (7-param Helmert from WGS84, the
+    # OS-published parameters; ~1 m datum accuracy, OS guide sec 6.6)
+    "27700": ("tmerc", "AIRY1830",
+              dict(lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                   fe=400000.0, fn=-100000.0,
+                   helmert=(-446.448, 125.157, -542.060, 20.4894,
+                            -0.1502, -0.2470, -0.8421))),
+    # NZGD2000 / New Zealand Transverse Mercator (datum ~WGS84)
+    "2193": ("tmerc", "GRS80", dict(lat0=0.0, lon0=173.0, k0=0.9996,
+                                    fe=1600000.0, fn=10000000.0)),
+}
+
+_PROJ_CACHE: dict[str, object] = {}
+
+
+def register_projection(code: str, kind: str, ellipsoid: str,
+                        params: dict) -> None:
+    """Register an EPSG code for st_transform: ``kind`` one of
+    ``lcc2sp`` (lat0 lon0 sp1 sp2 fe fn), ``albers`` (same), ``ps_b``
+    (latf lon0 fe fn); ``ellipsoid`` a key of ``ELLIPSOIDS``."""
+    if kind not in _PROJ_KINDS:
+        raise ValueError(f"unknown projection kind {kind!r}")
+    if ellipsoid not in ELLIPSOIDS:
+        raise ValueError(f"unknown ellipsoid {ellipsoid!r}")
+    PROJ_REGISTRY[str(code)] = (kind, ellipsoid, dict(params))
+    _PROJ_CACHE.pop(str(code), None)
+
+
+def _registry_projection(code: str):
+    if code in _PROJ_CACHE:
+        return _PROJ_CACHE[code]
+    spec = PROJ_REGISTRY.get(code)
+    if spec is None:
+        return None
+    kind, ell, params = spec
+    params = dict(params)
+    helmert = params.pop("helmert", None)
+    a, e2 = ELLIPSOIDS[ell]
+    proj = _PROJ_KINDS[kind](a, e2, **params)
+    if helmert is not None:
+        proj = _DatumShifted(proj, helmert, (a, e2))
+    _PROJ_CACHE[code] = proj
+    return proj
 
 
 def _map_coords(g: Geometry, fn) -> Geometry:

@@ -278,4 +278,4 @@ class TestUTMTransform:
         from geomesa_spark.geo.model import Point
         from geomesa_spark.geo.process import transform
         with pytest.raises(NotImplementedError):
-            transform(Point(0, 0), "EPSG:4326", "EPSG:2154")
+            transform(Point(0, 0), "EPSG:4326", "EPSG:31370")
