@@ -358,10 +358,19 @@ def plan_query(df: DataFrame, f, *, cell_col: str = "cell_prefix",
 
 
 def _has_attr(f) -> bool:
-    if isinstance(f, Attr):
-        return True
-    if isinstance(f, (And, Or)):
-        return any(_has_attr(p) for p in f.parts)
-    if isinstance(f, Not):
-        return _has_attr(f.part)
-    return False
+    """True iff a POSITIVE attribute predicate is AND-reachable. An Attr
+    under a negation, or inside an OR alongside unconstrained branches,
+    cannot narrow the scan, so it does not satisfy the full-table-scan
+    guard."""
+    def visit(node, positive):
+        if isinstance(node, Attr):
+            return positive
+        if isinstance(node, And):
+            return any(visit(p, positive) for p in node.parts)
+        if isinstance(node, Or):
+            # a disjunction bounds the scan only if EVERY branch does
+            return all(visit(p, positive) for p in node.parts)
+        if isinstance(node, Not):
+            return visit(node.part, not positive)
+        return False
+    return visit(_push_not(f), True)

@@ -43,6 +43,7 @@ SPATIAL_MULTIPLIER = 1.2   # spatial scans over-select cover cells
 ATTRIBUTE_MULTIPLIER = 1.0
 TEMPORAL_MULTIPLIER = 1.0
 RANGE_FRACTION = 0.25      # conservative default for attr range filters
+DEFAULT_ATTR_FRACTION = 0.5  # attr predicate without cardinality stats
 
 STATS_FILE = "_stats.json"
 
@@ -83,22 +84,40 @@ def read_stats(table_path: str) -> dict | None:
 
 def build_attribute_index(df: DataFrame, index_path: str, *,
                           column: str, id_col: str,
+                          ts_col: str | None = None,
                           n_files: int = 8) -> None:
     """Secondary key-ordered table: (value, id) globally SORTED by value
     (repartitionByRange -> one sorted parquet file per range), so a
     value predicate prunes via row-group min/max statistics — the
-    attribute index's key-ordered scan, Spark-native."""
-    (df.select(F.col(column).alias("value"), F.col(id_col).alias("id"))
+    attribute index's key-ordered scan, Spark-native.
+
+    With ``ts_col``, the index is TIERED (value, epoch_week, id) sorted
+    by (value, epoch_week) — the reference's attribute key space with
+    its z-time secondary tier (AttributeIndexKeySpace), so
+    ``attr = x AND dtg DURING ...`` prunes on BOTH dimensions."""
+    from geomesa_spark.cells.z3 import epoch_week_expr
+
+    cols = [F.col(column).alias("value")]
+    sort_cols = ["value"]
+    if ts_col is not None:
+        cols.append(epoch_week_expr(ts_col).alias("epoch_week"))
+        sort_cols.append("epoch_week")
+    cols.append(F.col(id_col).alias("id"))
+    (df.select(*cols)
      .repartitionByRange(n_files, "value")
-     .sortWithinPartitions("value")
+     .sortWithinPartitions(*sort_cols)
      .write.mode("overwrite").parquet(index_path))
 
 
 def attribute_index_lookup(spark: SparkSession, index_path: str,
                            primary: DataFrame, *, id_col: str,
-                           op: str, value) -> DataFrame:
+                           op: str, value,
+                           weeks: set[int] | None = None) -> DataFrame:
     """Scan the secondary index with the pushed predicate, semi-join the
-    id set back to the primary table (the reference's join-back)."""
+    id set back to the primary table (the reference's join-back).
+    ``weeks`` intersects the time tier when the index carries one (built
+    with ``ts_col``); on an untiered index it is ignored — sound, the
+    full filter always refines."""
     idx = spark.read.parquet(index_path)
     c = F.col("value")
     preds = {"=": c == value, "<": c < value, "<=": c <= value,
@@ -107,6 +126,8 @@ def attribute_index_lookup(spark: SparkSession, index_path: str,
         pred = c.isin(list(value))
     else:
         pred = preds[op]
+    if weeks is not None and "epoch_week" in idx.columns:
+        pred = pred & F.col("epoch_week").isin(sorted(weeks))
     ids = idx.where(pred).select(F.col("id").alias(id_col)).distinct()
     return primary.join(ids, id_col, "left_semi")
 
@@ -183,14 +204,25 @@ def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
     and refine with the FULL filter; otherwise fall through to the
     cell/week planner. A wrong cost estimate can only cost time — the
     exact refine always re-applies the whole filter."""
-    s = decide(f, stats, res=res, allow_full_scan=allow_full_scan)
-    if s.kind == "attribute" and attr_indexes \
+    tiered = set()
+    if attr_indexes:
+        for col, p in attr_indexes.items():
+            try:  # schema-only read (parquet footer)
+                if "epoch_week" in spark.read.parquet(p).columns:
+                    tiered.add(col)
+            except Exception:
+                pass
+    s = decide(f, stats, res=res, allow_full_scan=allow_full_scan,
+               tiered_attrs=tiered)
+    if s.kind in ("attribute", "attribute+time") and attr_indexes \
             and s.attribute in attr_indexes:
         pred = _first_attr_pred(f, s.attribute)
         if pred is not None:
+            weeks = FL.extract_weeks(f) if s.kind == "attribute+time" \
+                else None
             pruned = attribute_index_lookup(
                 spark, attr_indexes[s.attribute], df, id_col=id_col,
-                op=pred.op, value=pred.value)
+                op=pred.op, value=pred.value, weeks=weeks)
             return pruned.where(FL.to_refine_column(
                 f, lon=lon, lat=lat, ts=ts))
     return FL.plan_query(df, f, cell_col=cell_col, week_col=week_col,
@@ -200,10 +232,14 @@ def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
 
 
 def decide(f, stats: dict, *, res: int = PARTITION_RES,
-           allow_full_scan: bool = False) -> Strategy:
+           allow_full_scan: bool = False,
+           tiered_attrs: set[str] | None = None) -> Strategy:
     """Pick the cheapest primary strategy for ``f`` (StrategyDecider
     semantics: cost = estimated rows x multiplier; ties prefer the
-    attribute index, matching the reference's equality-first behavior)."""
+    attribute index, matching the reference's equality-first behavior).
+    ``tiered_attrs``: columns whose secondary index carries the
+    epoch_week tier — only those can propose the intersected
+    attribute+time strategy."""
     rows = max(1, stats.get("rows", 1))
     candidates: list[Strategy] = []
 
@@ -213,19 +249,53 @@ def decide(f, stats: dict, *, res: int = PARTITION_RES,
         candidates.append(Strategy("spatial",
                                    rows * frac * SPATIAL_MULTIPLIER))
     weeks = FL.extract_weeks(f)
+    time_frac = None
     if weeks is not None and stats.get("weeks"):
-        frac = min(1.0, len(weeks) / stats["weeks"])
+        time_frac = min(1.0, len(weeks) / stats["weeks"])
         candidates.append(Strategy("temporal",
-                                   rows * frac * TEMPORAL_MULTIPLIER))
-    for col, frac in _attr_fraction(f, stats.get("cardinality",
-                                                 {})).items():
+                                   rows * time_frac * TEMPORAL_MULTIPLIER))
+    attr_fracs = _attr_fraction(f, stats.get("cardinality", {}))
+    for col, frac in attr_fracs.items():
         candidates.append(Strategy("attribute",
                                    rows * frac * ATTRIBUTE_MULTIPLIER,
                                    attribute=col))
+        if time_frac is not None and tiered_attrs and col in tiered_attrs:
+            # tiered (value, epoch_week) key space: selectivities
+            # intersect (AttributeIndexKeySpace's z-time secondary tier)
+            candidates.append(Strategy(
+                "attribute+time",
+                rows * frac * time_frac * ATTRIBUTE_MULTIPLIER,
+                attribute=col))
+    if not attr_fracs and FL._has_attr(f):
+        # attribute predicates exist but no cardinality stats: propose a
+        # conservative attribute scan rather than erroring where the
+        # fallback planner would happily run the same filter
+        for col in _attr_columns(f):
+            candidates.append(Strategy(
+                "attribute", rows * DEFAULT_ATTR_FRACTION
+                * ATTRIBUTE_MULTIPLIER, attribute=col))
     if not candidates:
         if not allow_full_scan:
             raise ValueError(
                 "no index strategy applies; pass allow_full_scan=True")
         return Strategy("full", float(rows))
     return min(candidates, key=lambda s: (s.cost,
-                                          s.kind != "attribute"))
+                                          not s.kind.startswith(
+                                              "attribute")))
+
+
+def _attr_columns(f) -> list[str]:
+    """Columns of positive, AND-reachable attribute predicates."""
+    out: list[str] = []
+
+    def visit(node, positive):
+        if isinstance(node, FL.Attr) and positive \
+                and node.column not in out:
+            out.append(node.column)
+        elif isinstance(node, FL.And):
+            for p in node.parts:
+                visit(p, positive)
+        elif isinstance(node, FL.Not):
+            visit(node.part, not positive)
+    visit(FL._push_not(f), True)
+    return out

@@ -139,3 +139,97 @@ class TestPlanWithStrategy:
             attr_indexes={"user": idx_path}).collect()}
         want2 = {r["id"] for r in plan_query(df, f2).collect()}
         assert got2 == want2
+
+
+class TestTieredAttributeIndex:
+    def test_attr_plus_time_beats_single_dimensions(self):
+        stats = {"rows": 1_000_000, "weeks": 10,
+                 "cardinality": {"user_id": 50}}
+        f = and_(Attr("user_id", "=", 7),
+                 Time("2024-01-08T00:00:00", "2024-01-15T00:00:00"))
+        s = decide(f, stats, tiered_attrs={"user_id"})
+        assert s.kind == "attribute+time" and s.attribute == "user_id"
+        # without a tiered index the intersected strategy is off the menu
+        assert decide(f, stats).kind != "attribute+time"
+        # and its cost is the intersection of the two selectivities
+        attr_only = 1_000_000 / 50
+        time_only = 1_000_000 / 10
+        assert s.cost < attr_only and s.cost < time_only
+
+    def test_tiered_route_identical_rows(self, spark, tmp_path):
+        """'this device, last week': the tiered (value, epoch_week, id)
+        route returns exactly the fallback planner's rows."""
+        from geomesa_spark.cells import PARTITION_RES
+        from geomesa_spark.cells.native import cell_expr
+        from geomesa_spark.cells.z3 import epoch_week_expr
+        from geomesa_spark.plans.filters import plan_query
+        from geomesa_spark.plans.strategy import plan_with_strategy
+        rng = np.random.default_rng(23)
+        base = spark.createDataFrame(
+            [(int(i), int(rng.integers(0, 40)),
+              float(x), float(y),
+              f"2024-01-{1 + int(i) % 28:02d}T12:00:00")
+             for i, (x, y) in enumerate(zip(
+                 rng.uniform(-60, 60, 3000), rng.uniform(-50, 50, 3000)))],
+            "id long, user long, lon double, lat double, ts_s string")
+        df = (base.withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+              .withColumn("cell_prefix",
+                          cell_expr("lon", "lat", PARTITION_RES))
+              .withColumn("epoch_week", epoch_week_expr("ts"))).cache()
+        idx_path = str(tmp_path / "tiered_idx")
+        build_attribute_index(df, idx_path, column="user", id_col="id",
+                              ts_col="ts")
+        idx = spark.read.parquet(idx_path)
+        assert "epoch_week" in idx.columns
+        stats = {"rows": 3000, "weeks": 5, "cardinality": {"user": 40}}
+        f = and_(Attr("user", "=", 7),
+                 Time("2024-01-08T00:00:00", "2024-01-15T00:00:00"))
+        assert decide(f, stats,
+                      tiered_attrs={"user"}).kind == "attribute+time"
+        got = {r["id"] for r in plan_with_strategy(
+            spark, df, f, stats=stats, attr_indexes={"user": idx_path},
+            week_col="epoch_week").collect()}
+        want = {r["id"] for r in plan_query(
+            df, f, week_col="epoch_week").collect()}
+        assert got == want and got
+
+    def test_untiered_index_ignores_weeks_soundly(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(int(i), int(i % 10)) for i in range(200)],
+            "id long, user long")
+        path = str(tmp_path / "flat_idx")
+        build_attribute_index(df, path, column="user", id_col="id")
+        got = {r["id"] for r in attribute_index_lookup(
+            spark, path, df, id_col="id", op="=", value=3,
+            weeks={2810, 2811}).collect()}
+        want = {r["id"] for r in df.where(F.col("user") == 3).collect()}
+        assert got == want  # weeks ignored on a flat index, not wrong
+
+
+class TestDeciderFallbacks:
+    def test_attr_without_cardinality_stats_is_a_candidate(self):
+        """ADVICE regression: decide() must not error where plan_query
+        accepts the identical filter."""
+        f = Attr("unknown_col", "=", 5)
+        s = decide(f, {"rows": 1000, "cardinality": {}})
+        assert s.kind == "attribute" and s.attribute == "unknown_col"
+
+    def test_negated_attr_fails_scan_guard(self):
+        """ADVICE regression: a purely negated attribute cannot narrow
+        the scan — both the decider and the planner must refuse it."""
+        from geomesa_spark.plans.filters import _has_attr
+        f = not_(Attr("c", "=", 1))
+        assert not _has_attr(f)
+        with pytest.raises(ValueError):
+            decide(f, STATS)
+
+    def test_plan_query_guard_rejects_negated_attr(self, spark):
+        from geomesa_spark.plans.filters import plan_query
+        df = spark.createDataFrame([(1, 0.0, 0.0, 2)],
+                                   "c long, lon double, lat double, "
+                                   "cell_prefix long")
+        with pytest.raises(ValueError):
+            plan_query(df, not_(Attr("c", "=", 1)))
+        # explicit opt-in still runs it
+        assert plan_query(df, not_(Attr("c", "=", 1)),
+                          allow_full_scan=True).count() == 0
