@@ -820,10 +820,86 @@ def q_bin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GeoJSON feature export (rows-only; RFC 7946 shape pytest-gated)."""
+    """GeoJSON feature export (RFC 7946 Features; byte-identical strings
+    assembled in the SQL oracle)."""
     from geomesa_spark.operators.export import to_geojson_features
     pts = _events_points(spark, sf_dir).select("event_id", "lon", "lat")
     return to_geojson_features(pts, id_col="event_id")
+
+
+def q_point2point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point2Point process: per-user consecutive track segments ordered
+    by ts (Point2PointProcess.scala semantics: strict min-points,
+    zero-length filtering), value-checked against a SQL window oracle."""
+    from geomesa_spark.operators.processes import point2point
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        pts = ev.select(
+            "event_id", "user_id", "ts",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0)
+            .alias("lon"),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0)
+            .alias("lat"))
+        out = point2point(pts, group="user_id", sort="ts",
+                          min_points=5, tiebreak=["event_id"])
+        out = out.select(
+            "user_id", "seg", "x1", "y1", "x2", "y2",
+            F.col("ts_start").cast("timestamp").cast("double")
+            .alias("t_start"),
+            F.col("ts_end").cast("timestamp").cast("double")
+            .alias("t_end"),
+            F.round("dist_m", 3).alias("dist_m"))
+        out.schema  # force analysis while UTC is active
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrackLabel process: the latest event per user (ties by event_id
+    descending — the deterministic form of the reference's maxBy)."""
+    from geomesa_spark.operators.processes import track_label
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = track_label(ev, track="user_id", dtg="ts",
+                          tiebreak=["event_id"])
+        out = out.select("user_id", "event_id",
+                         F.col("ts").cast("timestamp").cast("double")
+                         .alias("t"), "value")
+        out.schema
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_date_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateOffset process: shift ts by P1DT2H, emit epoch seconds."""
+    from geomesa_spark.operators.processes import date_offset
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = date_offset(ev, date_col="ts", offset="P1DT2H")
+        out = out.select("event_id",
+                         F.col("ts").cast("timestamp").cast("double")
+                         .alias("t_shifted"))
+        out.schema
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def q_hash_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashAttribute process: deterministic bucket of event_type mod 7
+    (char-fold hash — bit-exact in the SQL oracle)."""
+    from geomesa_spark.operators.processes import hash_attribute
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hash_attribute(ev, attribute="event_type", modulo=7) \
+        .select("event_id", "hash")
 
 
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]
@@ -884,6 +960,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "bin_export": q_bin_export,
         "geojson_export": q_geojson_export,
+        "point2point": q_point2point,
+        "track_label": q_track_label,
+        "date_offset": q_date_offset,
+        "hash_attribute": q_hash_attribute,
     }
 
 
@@ -1336,6 +1416,44 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[]))
                   >= 0.4
             ORDER BY a, b""",
+        "point2point": f"""
+            WITH pts AS (
+              SELECT user_id, event_id, ts,
+                     (event_id*7919%36000)/100.0-180.0 AS lon,
+                     (event_id*104729%18000)/100.0-90.0 AS lat
+              FROM events),
+            seg AS (
+              SELECT user_id,
+                     row_number() OVER w - 1 AS seg,
+                     lon AS x1, lat AS y1,
+                     lead(lon) OVER w AS x2, lead(lat) OVER w AS y2,
+                     epoch(ts) AS t_start,
+                     epoch(lead(ts) OVER w) AS t_end,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, seg, x1, y1, x2, y2, t_start, t_end,
+                   round({_haversine_sql('x1', 'y1', 'x2', 'y2')}, 3)
+                     AS dist_m
+            FROM seg
+            WHERE n > 5 AND x2 IS NOT NULL
+              AND {_haversine_sql('x1', 'y1', 'x2', 'y2')} > 0.0
+            ORDER BY user_id, seg""",
+        "track_label": """
+            SELECT user_id, event_id, epoch(ts) AS t, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t WHERE rn = 1 ORDER BY user_id""",
+        "date_offset": """
+            SELECT event_id,
+                   epoch(ts + INTERVAL 26 HOUR) AS t_shifted
+            FROM events ORDER BY event_id""",
+        "hash_attribute": f"""
+            SELECT event_id,
+                   CAST({_char_hash_sql('event_type', 31)} % 7 AS INT)
+                     AS hash
+            FROM events ORDER BY event_id""",
         "stats_sketches": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    round(quantile_cont(value, 0.5), 6) AS q50,
