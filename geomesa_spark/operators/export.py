@@ -131,9 +131,17 @@ def to_arrow_ipc_partitions(df: DataFrame,
     return df.mapInPandas(encode, "n_rows long, ipc binary")
 
 
-def arrow_ipc_reduce(parts: list[bytes]) -> bytes:
+def arrow_ipc_reduce(parts: list[bytes],
+                     sort_by: str | None = None) -> bytes:
     """Client-side reduce of per-partition IPC streams into one stream
-    with UNIFIED dictionaries (the reference's client merge phase)."""
+    with UNIFIED dictionaries (the reference's client merge phase,
+    ArrowScan.mergeBatches).
+
+    With ``sort_by``, the partitions must each be PRE-SORTED by that
+    column (the reference's sorted-delivery mode): the reduce runs a
+    vectorized K-WAY MERGE — a searchsorted-interleave tree, O(n log k),
+    no full re-sort — and the output stream is globally sorted, stable
+    across equal keys in partition order."""
     import pyarrow as pa
 
     tables = []
@@ -142,10 +150,47 @@ def arrow_ipc_reduce(parts: list[bytes]) -> bytes:
             tables.append(r.read_all())
     merged = pa.concat_tables(tables, promote_options="permissive")
     merged = merged.unify_dictionaries()
+    if sort_by is not None and merged.num_rows:
+        merged = merged.take(pa.array(_kway_merge_indices(
+            tables, sort_by)))
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, merged.schema) as w:
         w.write_table(merged)
     return sink.getvalue().to_pybytes()
+
+
+def _kway_merge_indices(tables, key: str) -> np.ndarray:
+    """Permutation of global (concatenated) row indices that merges the
+    per-table pre-sorted runs: pairwise vectorized merges
+    (np.searchsorted interleave) reduced as a tree — O(n log k)."""
+    runs = []
+    off = 0
+    for t in tables:
+        col = t.column(key)
+        if hasattr(col.type, "value_type"):  # dictionary-encoded key
+            col = col.cast(col.type.value_type)
+        keys = col.to_numpy(zero_copy_only=False)
+        runs.append((keys, np.arange(off, off + len(t), dtype=np.int64)))
+        off += len(t)
+    while len(runs) > 1:
+        nxt = []
+        for i in range(0, len(runs) - 1, 2):
+            (ka, ia), (kb, ib) = runs[i], runs[i + 1]
+            # stable: equal keys keep earlier-partition rows first
+            pos_b = np.searchsorted(ka, kb, side="right") \
+                + np.arange(len(kb), dtype=np.int64)
+            n = len(ka) + len(kb)
+            keys = np.empty(n, dtype=ka.dtype)
+            idx = np.empty(n, dtype=np.int64)
+            mask = np.zeros(n, dtype=bool)
+            mask[pos_b] = True
+            keys[mask], keys[~mask] = kb, ka
+            idx[mask], idx[~mask] = ib, ia
+            nxt.append((keys, idx))
+        if len(runs) % 2:
+            nxt.append(runs[-1])
+        runs = nxt
+    return runs[0][1]
 
 
 def to_geojson_features(df: DataFrame, *, lon: str = "lon",

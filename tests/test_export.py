@@ -141,3 +141,44 @@ class TestArrowIPC:
             with pa.ipc.open_stream(pa.BufferReader(bytes(p["ipc"]))) as r:
                 t = r.read_all()
             assert len(t) == p["n_rows"]
+
+
+class TestArrowSortedMerge:
+    def test_kway_merge_sorted_output(self, spark):
+        """ArrowScan sorted-delivery parity: >=3 pre-sorted partitions
+        k-way-merge into one globally sorted stream (no full re-sort)."""
+        import pyarrow as pa
+        from geomesa_spark.operators.export import (arrow_ipc_reduce,
+                                                    to_arrow_ipc_partitions)
+        df = (spark.range(0, 3000)
+              .select((F.col("id") * 2654435761 % 10007).alias("k"),
+                      F.col("id").alias("v"),
+                      (F.col("id") % 3).cast("string").alias("tag"))
+              .repartition(5)
+              .sortWithinPartitions("k"))
+        parts = to_arrow_ipc_partitions(df, dictionary_cols=("tag",)) \
+            .collect()
+        assert len(parts) >= 3
+        blob = arrow_ipc_reduce([r["ipc"] for r in parts], sort_by="k")
+        with pa.ipc.open_stream(pa.BufferReader(blob)) as r:
+            t = r.read_all()
+        ks = t.column("k").to_pylist()
+        assert len(ks) == 3000
+        assert ks == sorted(ks)
+        # all rows survive the merge (it is a permutation)
+        assert sorted(t.column("v").to_pylist()) == list(range(3000))
+        # dictionary column still dictionary-encoded and unified
+        assert pa.types.is_dictionary(t.schema.field("tag").type)
+
+    def test_kway_merge_stable_on_ties(self, spark):
+        import pyarrow as pa
+        from geomesa_spark.operators.export import _kway_merge_indices
+        t1 = pa.table({"k": [1, 1, 5], "src": ["a0", "a1", "a2"]})
+        t2 = pa.table({"k": [1, 4, 5], "src": ["b0", "b1", "b2"]})
+        t3 = pa.table({"k": [0, 1], "src": ["c0", "c1"]})
+        idx = _kway_merge_indices([t1, t2, t3], "k")
+        merged = pa.concat_tables([t1, t2, t3]).take(pa.array(idx))
+        assert merged.column("k").to_pylist() == [0, 1, 1, 1, 1, 4, 5, 5]
+        # equal keys keep partition order: t1 rows before t2 before t3
+        assert merged.column("src").to_pylist() == [
+            "c0", "a0", "a1", "b0", "c1", "b1", "a2", "b2"]
