@@ -902,6 +902,33 @@ def q_hash_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "hash")
 
 
+# RouteSearch fixtures: two long polylines over the global event grid;
+# every coordinate is an exact binary double so the Spark literals and
+# the SQL VALUES are bit-identical.
+ROUTE_COORDS = [
+    [(-170.0, -80.0), (-100.0, -20.0), (-30.0, 40.0), (40.0, 80.0)],
+    [(60.0, -70.0), (100.0, 0.0), (150.0, 60.0)],
+]
+ROUTE_BUFFER_M = 800_000.0
+ROUTE_HEADING_THRESH = 60.0
+
+
+def q_route_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteSearch process: events within 800 km of a route whose
+    heading tracks the closest in-buffer segment's bearing within 60
+    degrees (bidirectional). Heading is a deterministic function of
+    event_id so the SQL oracle replays it exactly."""
+    from geomesa_spark.operators.processes import route_search
+    pts = _events_points(spark, sf_dir).select(
+        "event_id", "lon", "lat",
+        ((F.col("event_id") * 131 % 3600) / 10.0).alias("heading"))
+    out = route_search(pts, ROUTE_COORDS, buffer_m=ROUTE_BUFFER_M,
+                       heading_threshold=ROUTE_HEADING_THRESH,
+                       id_col="event_id", bidirectional=True)
+    return out.select("event_id", "lon", "lat", "heading", "route_id",
+                      "seg", "dist_m", "route_heading")
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]
           ) -> Callable[[SparkSession, str], DataFrame]:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,6 +991,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_label": q_track_label,
         "date_offset": q_date_offset,
         "hash_attribute": q_hash_attribute,
+        "route_search": q_route_search,
     }
 
 
@@ -986,6 +1014,59 @@ def _z2_sql(res: int) -> str:
         terms.append(f"((({xbin}) >> {i}) & 1) << {2 * i}")
         terms.append(f"((({ybin}) >> {i}) & 1) << {2 * i + 1}")
     return " | ".join(f"({t})" for t in terms)
+
+
+def _route_search_sql() -> str:
+    """SQL twin of q_route_search: same planar closest-point, haversine
+    distance, spherical bearing and argmin tie-break formulas (all exact
+    IEEE arithmetic except trig, absorbed by round-6)."""
+    rows = ", ".join(
+        f"({rid}, {si}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for rid, coords in enumerate(ROUTE_COORDS)
+        for si, ((x1, y1), (x2, y2))
+        in enumerate(zip(coords, coords[1:])))
+    len2 = "((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1))"
+    traw = f"(((lon-x1)*(x2-x1)+(lat-y1)*(y2-y1))/{len2})"
+    t = (f"(CASE WHEN {len2} > 0 THEN "
+         f"least(1.0, greatest(0.0, {traw})) ELSE 0.0 END)")
+    cx, cy = f"(x1+{t}*(x2-x1))", f"(y1+{t}*(y2-y1))"
+    dist = _haversine_sql("lon", "lat", cx, cy)
+    bearing = ("(degrees(atan2("
+               "sin(radians(x2)-radians(x1))*cos(radians(y2)), "
+               "cos(radians(y1))*sin(radians(y2))"
+               " - sin(radians(y1))*cos(radians(y2))"
+               "*cos(radians(x2)-radians(x1)))) + 360.0) % 360.0")
+    return f"""
+        WITH pts AS (
+          SELECT event_id,
+                 (event_id*7919%36000)/100.0-180.0 AS lon,
+                 (event_id*104729%18000)/100.0-90.0 AS lat,
+                 (event_id*131%3600)/10.0 AS heading
+          FROM events),
+        seg AS (SELECT * FROM (VALUES {rows})
+                s(route_id, seg, x1, y1, x2, y2)),
+        scored AS (
+          SELECT event_id, lon, lat, heading, route_id, seg,
+                 round({dist}, 6) AS d,
+                 round({bearing}, 6) AS raz
+          FROM pts CROSS JOIN seg
+          WHERE {dist} <= {ROUTE_BUFFER_M!r}),
+        best AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_id
+                   ORDER BY d, route_id, seg) AS rn
+          FROM scored)
+        SELECT event_id, lon, lat, heading,
+               CAST(route_id AS INT) AS route_id,
+               CAST(seg AS INT) AS seg,
+               d AS dist_m, raz AS route_heading
+        FROM best WHERE rn = 1
+          AND (least(abs(raz - heading), 360.0 - abs(raz - heading))
+                 <= {ROUTE_HEADING_THRESH!r}
+               OR abs(least(abs(raz - heading),
+                            360.0 - abs(raz - heading)) - 180.0)
+                 <= {ROUTE_HEADING_THRESH!r})
+        ORDER BY event_id"""
 
 
 def _knn_values_sql() -> str:
@@ -1454,6 +1535,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_char_hash_sql('event_type', 31)} % 7 AS INT)
                      AS hash
             FROM events ORDER BY event_id""",
+        "route_search": _route_search_sql(),
         "stats_sketches": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    round(quantile_cont(value, 0.5), 6) AS q50,

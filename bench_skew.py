@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Hot-cell skew demonstration (VERDICT r02 #7).
+
+Two fixtures at the same row count and byte size:
+- uniform: the standard image fixture (phash-derived lon/lat, 10% city
+  clusters),
+- skewed: 80% of rows forced into ONE res-4 Z2 cell (the "dense urban
+  cell" worst case for the default PARTITION_RES = 4 grain).
+
+Both are written through the engine's cell-partitioned layout — the
+skewed table twice: unsalted (one writer task owns 80% of the bytes) and
+salted (write_images(salt=...), the ShardStrategy analog) — then the
+flagship query pipeline (tile counts -> broadcast spatial join -> density
+-> decode) runs on uniform vs skewed(salted) with AQE skew handling on.
+
+Pass criterion (VERDICT): skewed within 1.3x of uniform end-to-end.
+Why it holds by construction: tile/density aggregations partial-combine
+map-side (a hot key arrives at the shuffle as one partial row per map
+task), the join broadcasts the small side (skew-agnostic), and the scan
+splits parquet files by maxPartitionBytes so the hot partition dir is
+read by many tasks. The write side is where skew bites — measured here
+as unsalted vs salted write walls.
+
+Emits ONE JSON line and merges a "skew" section into BENCH_SCALING.json.
+
+Usage: python bench_skew.py [--n-images 480000] [--salt 16] [--rounds 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_scaling import build_spark, run_job  # noqa: E402
+
+# res-4 Z2 cell containing San Francisco: x bin 2, y bin 11
+HOT_LON0, HOT_LON1 = -135.0, -112.5
+HOT_LAT0, HOT_LAT1 = 33.75, 45.0
+HOT_FRACTION = 0.8
+
+
+def skewed_images(spark, n: int):
+    """The uniform fixture with 80% of rows re-aimed (deterministically,
+    by id hash) into the single hot cell."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.raster.fixtures import images_df
+
+    df = images_df(spark, n)
+    u1 = F.pmod(F.xxhash64("image_id", F.lit(1)), 1_000_000) / 1_000_000.0
+    u2 = F.pmod(F.xxhash64("image_id", F.lit(2)), 1_000_000) / 1_000_000.0
+    hot = F.pmod(F.xxhash64("image_id", F.lit(3)), 10) \
+        < int(HOT_FRACTION * 10)
+    return (df.withColumn(
+        "lon", F.when(hot, HOT_LON0 + u1 * (HOT_LON1 - HOT_LON0))
+        .otherwise(F.col("lon")))
+        .withColumn(
+        "lat", F.when(hot, HOT_LAT0 + u2 * (HOT_LAT1 - HOT_LAT0))
+        .otherwise(F.col("lat"))))
+
+
+def timed_write(df, path: str, salt: int | None) -> float:
+    from geomesa_spark.sources.table import write_images
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_images(df, path, salt=salt)
+    return round(time.perf_counter() - t0, 3)
+
+
+def cell_share(spark, path: str) -> float:
+    """Fraction of rows in the hottest cell_prefix (the skew witness)."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    counts = df.groupBy("cell_prefix").count()
+    mx, tot = counts.agg(F.max("count"), F.sum("count")).collect()[0]
+    return round(mx / tot, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-images", type=int, default=480_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    base = f"/tmp/bench_skew_{args.n_images}"
+    p_uni, p_skw = f"{base}/uniform", f"{base}/skewed"
+    spark = build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uni = spark.read.parquet(p_uni) if os.path.isdir(p_uni) else None
+    if uni is None:
+        from geomesa_spark.raster.fixtures import images_df
+        t_w_uni = timed_write(images_df(spark, args.n_images), p_uni, None)
+        skw = skewed_images(spark, args.n_images)
+        t_w_skw_unsalted = timed_write(skw, f"{base}/skewed_unsalted", None)
+        t_w_skw_salted = timed_write(skw, p_skw, args.salt)
+    else:  # fixture cache: re-time only the writes if missing
+        t_w_uni = t_w_skw_unsalted = t_w_skw_salted = None
+
+    shares = {"uniform": cell_share(spark, p_uni),
+              "skewed": cell_share(spark, p_skw)}
+
+    # interleaved best-of rounds (same discipline as bench_scaling)
+    best = {}
+    for _ in range(args.rounds):
+        for name, path in (("uniform", p_uni), ("skewed", p_skw)):
+            r = run_job(spark, path, args.cpus)
+            if name not in best or r["t_total"] < best[name]["t_total"]:
+                best[name] = r
+    spark.stop()
+
+    ratio = round(best["skewed"]["t_total"] / best["uniform"]["t_total"], 3)
+    result = {
+        "metric": "hot-cell skew penalty (skewed/uniform wall ratio)",
+        "value": ratio, "unit": "ratio", "n_images": args.n_images,
+        "hot_cell_share": shares,
+        "partition_res": 4, "salt": args.salt,
+        "uniform": best["uniform"], "skewed": best["skewed"],
+        "write_sec": {"uniform": t_w_uni,
+                      "skewed_unsalted": t_w_skw_unsalted,
+                      "skewed_salted": t_w_skw_salted},
+        "pass_1p3x": ratio <= 1.3,
+    }
+    try:
+        with open("BENCH_SCALING.json") as f:
+            scaling = json.load(f)
+    except FileNotFoundError:
+        scaling = {}
+    scaling["skew"] = result
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(scaling, f)
+    if not args.keep:
+        shutil.rmtree(f"{base}/skewed_unsalted", ignore_errors=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

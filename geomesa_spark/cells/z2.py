@@ -26,7 +26,19 @@ from __future__ import annotations
 import numpy as np
 
 MAX_RES = 31  # bits per dimension, as in the reference Z2 curve
-PARTITION_RES = 4  # default partition resolution: 2^4 x 2^4 = 256 world cells
+
+# Default PARTITION resolution: 2^4 x 2^4 = 256 world cells. Scale tuning:
+# pick res so a typical cell holds ~1-16 GB (a few parquet row groups), and
+# rely on (a) scan-side file splitting (maxPartitionBytes) so a hot cell
+# never becomes one huge read task, and (b) write-side salting
+# (write_images(salt=...) / ShardStrategy analog) so a hot cell never
+# becomes one huge writer task. Rules of thumb at ~1 KB/row: <=10^8 rows ->
+# res 4; 10^9-10^10 -> res 6-8 (4k-65k cells); 10^11-10^12 (the 100 TB
+# shape) -> res 8-10 plus salting for urban cells, which keeps the hottest
+# city cell under ~1% of the table. Queries prune with prefix ranges, so a
+# finer res never changes results — only file/partition counts
+# (bench_skew.py measures the hot-cell-vs-uniform penalty end-to-end).
+PARTITION_RES = 4
 
 _LON_MIN, _LON_MAX = -180.0, 180.0
 _LAT_MIN, _LAT_MAX = -90.0, 90.0

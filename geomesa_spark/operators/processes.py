@@ -17,6 +17,15 @@ Reference semantics re-derived (cited, not copied):
   (not part of the portable contract), so this build uses the same
   char-fold polynomial hash as the text fingerprints — bit-exactly
   replicable in the SQL oracle, same bucketing contract.
+- RouteSearch: features within a buffer of a route AND heading along it
+  (/root/reference/geomesa-process/geomesa-process-vector/src/main/
+  scala/org/locationtech/geomesa/process/query/RouteSearchProcess.scala:
+  244-258 — dwithin prefilter, closest route segment via DistanceOp,
+  segment azimuth vs feature heading with compass correction and the
+  optional bidirectional +-180 match). The reference's GeodeticCalculator
+  azimuth is replaced by the spherical initial bearing (pure trig —
+  replicable in the SQL oracle); closest segment uses the same planar
+  coordinate distance as JTS DistanceOp.
 """
 
 from __future__ import annotations
@@ -135,6 +144,107 @@ def hash_attribute(df: DataFrame, *, attribute: str, modulo: int,
     from geomesa_spark.text.analysis import char_hash_expr
     s = F.coalesce(F.col(attribute).cast("string"), F.lit(""))
     return df.withColumn(out, (char_hash_expr(s) % modulo).cast("int"))
+
+
+def _bearing_expr(x1, y1, x2, y2) -> Column:
+    """Spherical initial bearing (x1,y1)->(x2,y2) in [0, 360)."""
+    p1, p2 = F.radians(y1), F.radians(y2)
+    dl = F.radians(x2) - F.radians(x1)
+    th = F.degrees(F.atan2(
+        F.sin(dl) * F.cos(p2),
+        F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)))
+    return (th + 360.0) % 360.0
+
+
+def route_segments(routes: list[list[tuple[float, float]]],
+                   buffer_m: float) -> list[dict]:
+    """Per-segment rows for a tiny route set: endpoints plus a bbox
+    expanded CONSERVATIVELY by ``buffer_m`` (margins over-cover — the
+    exact distance filter runs after the bbox join, so over-selection
+    costs candidates, never correctness)."""
+    import math
+    segs = []
+    for rid, coords in enumerate(routes):
+        if len(coords) < 2:
+            raise ValueError(f"route {rid} needs >= 2 points")
+        for si in range(len(coords) - 1):
+            (x1, y1), (x2, y2) = coords[si], coords[si + 1]
+            mlat = buffer_m / 109_000.0  # meridian degree >= 110.57 km
+            phi = min(89.0, max(abs(y1), abs(y2)) + mlat)
+            mlon = buffer_m / (105_000.0 * math.cos(math.radians(phi)))
+            segs.append({
+                "route_id": rid, "seg": si,
+                "x1": float(x1), "y1": float(y1),
+                "x2": float(x2), "y2": float(y2),
+                "bminx": min(x1, x2) - mlon, "bmaxx": max(x1, x2) + mlon,
+                "bminy": min(y1, y2) - mlat, "bmaxy": max(y1, y2) + mlat})
+    return segs
+
+
+def route_search(features: DataFrame,
+                 routes: list[list[tuple[float, float]]], *,
+                 buffer_m: float, heading_threshold: float,
+                 id_col: str, lon: str = "lon", lat: str = "lat",
+                 heading: str = "heading",
+                 bidirectional: bool = False) -> DataFrame:
+    """RouteSearchProcess: features within ``buffer_m`` of a route whose
+    heading matches the CLOSEST route segment's bearing within
+    ``heading_threshold`` degrees (compass-corrected; ``bidirectional``
+    also accepts the reciprocal bearing).
+
+    Scale shape: routes are the tiny side by contract (like kNN query
+    sets). Segments with buffer-expanded bboxes broadcast; the feature
+    side joins on bbox containment (BroadcastNestedLoopJoin — no feature
+    shuffle, candidates only near routes), per-pair distance/bearing run
+    in pure Catalyst codegen, and the closest-segment argmin is a
+    map-side-partial ``min(struct(...))`` groupBy on the feature id — the
+    one shuffle is O(|features near routes|) rows.
+
+    Distance semantics: closest point on the segment in planar coordinate
+    space (JTS DistanceOp's metric), measured in meters via haversine to
+    that point. Output: (id, lon, lat, heading, route_id, seg, dist_m,
+    route_heading) for matching features."""
+    spark = features.sparkSession
+    segs = route_segments(routes, buffer_m)
+    seg_df = spark.createDataFrame(
+        segs, "route_id int, seg int, x1 double, y1 double, "
+              "x2 double, y2 double, bminx double, bmaxx double, "
+              "bminy double, bmaxy double")
+    px, py = F.col(lon), F.col(lat)
+    cand = features.select(id_col, lon, lat, heading).join(
+        F.broadcast(seg_df),
+        (px >= F.col("bminx")) & (px <= F.col("bmaxx"))
+        & (py >= F.col("bminy")) & (py <= F.col("bmaxy")))
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    len2 = dx * dx + dy * dy
+    t = F.when(len2 > 0, F.least(
+        F.lit(1.0), F.greatest(
+            F.lit(0.0),
+            ((px - F.col("x1")) * dx + (py - F.col("y1")) * dy) / len2))
+    ).otherwise(F.lit(0.0))
+    cx, cy = F.col("x1") + t * dx, F.col("y1") + t * dy
+    scored = (cand.withColumn("dist_m", haversine_expr(px, py, cx, cy))
+              .where(F.col("dist_m") <= buffer_m)
+              .withColumn("raz", F.round(_bearing_expr(
+                  F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")), 6)))
+    # closest segment per feature: min(struct) -> map-side partial agg;
+    # dist rounded so sub-ulp trig noise cannot flip ties across engines
+    # (ties then break deterministically by (route_id, seg))
+    best = (scored.groupBy(id_col, lon, lat, heading)
+            .agg(F.min(F.struct(
+                F.round("dist_m", 6).alias("d"), "route_id", "seg",
+                "raz")).alias("m"))
+            .select(id_col, lon, lat, heading,
+                    F.col("m.route_id").alias("route_id"),
+                    F.col("m.seg").alias("seg"),
+                    F.col("m.d").alias("dist_m"),
+                    F.col("m.raz").alias("route_heading")))
+    diff = F.abs(F.col("route_heading") - F.col(heading))
+    diff = F.least(diff, 360.0 - diff)
+    match = diff <= heading_threshold
+    if bidirectional:
+        match = match | (F.abs(diff - 180.0) <= heading_threshold)
+    return best.where(match)
 
 
 _COLORS = ("#6495ED", "#B0C4DE", "#00FFFF", "#9ACD32", "#00FA9A",

@@ -42,6 +42,32 @@ def write_partitioned(df: DataFrame, path: str, *,
     out.write.partitionBy(partition_col).mode(mode).parquet(path)
 
 
+def write_images(df: DataFrame, path: str, *, res: int | None = None,
+                 salt: int | None = None, id_col: str = "image_id",
+                 lon: str = "lon", lat: str = "lat",
+                 mode: str = "overwrite") -> None:
+    """Cell-partition and write an arbitrary image frame.
+
+    ``salt`` spreads each cell's rows over up to that many writer tasks
+    (repartition key = (cell, hash(id) % salt)) — the ShardStrategy
+    discipline (/root/reference/geomesa-index-api/src/main/scala/org/
+    locationtech/geomesa/index/api/ShardStrategy.scala:42-80): without it
+    a hot urban cell serializes 80% of the write into one task. Readers
+    are unaffected (same hive partition dir, more files); scan-side
+    balance comes from parquet file splitting either way."""
+    from geomesa_spark.cells import PARTITION_RES
+    from geomesa_spark.cells.native import cell_expr
+
+    res = res if res is not None else PARTITION_RES
+    out = df.withColumn("cell_prefix", cell_expr(lon, lat, res))
+    if salt:
+        keys = [F.col("cell_prefix"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))]
+    else:
+        keys = [F.col("cell_prefix")]
+    write_partitioned(out.repartition(*keys), path, mode=mode)
+
+
 def read_images(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -130,3 +130,96 @@ class TestHashAttribute:
         out = hash_attribute_color(tracks, attribute="trk", modulo=7)
         assert all(r.hash.startswith("#") and len(r.hash) == 7
                    for r in out.collect())
+
+
+class TestRouteSearch:
+    """RouteSearchProcess semantics (RouteSearchProcess.scala:244-258):
+    dwithin buffer, closest in-buffer segment, compass-corrected heading
+    match with the optional bidirectional reciprocal."""
+
+    @pytest.fixture()
+    def route(self):
+        # one straight eastbound route along the equator
+        return [[(0.0, 0.0), (10.0, 0.0), (20.0, 0.0)]]
+
+    def _pts(self, spark, rows):
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("heading", T.DoubleType())])
+        return spark.createDataFrame(rows, schema)
+
+    def test_buffer_and_heading_filters(self, spark, route):
+        from geomesa_spark.operators.processes import route_search
+        pts = self._pts(spark, [
+            (1, 5.0, 0.5, 90.0),    # near, heading east (route bearing) -> in
+            (2, 5.0, 0.5, 270.0),   # near, heading west -> out (unidirectional)
+            (3, 5.0, 0.5, 0.0),     # near, heading north -> out
+            (4, 5.0, 30.0, 90.0),   # ~3300 km away -> out
+        ])
+        out = route_search(pts, route, buffer_m=200_000.0,
+                           heading_threshold=30.0, id_col="id")
+        assert sorted(r.id for r in out.collect()) == [1]
+
+    def test_bidirectional_accepts_reciprocal(self, spark, route):
+        from geomesa_spark.operators.processes import route_search
+        pts = self._pts(spark, [(2, 5.0, 0.5, 270.0)])
+        out = route_search(pts, route, buffer_m=200_000.0,
+                           heading_threshold=30.0, id_col="id",
+                           bidirectional=True)
+        assert [r.id for r in out.collect()] == [2]
+
+    def test_closest_segment_wins(self, spark):
+        from geomesa_spark.operators.processes import route_search
+        # route turns north at lon 10: east segment then north segment
+        route = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0)]]
+        # point near the NORTH leg, heading north -> matches seg 1
+        pts = self._pts(spark, [(1, 10.2, 5.0, 0.0)])
+        out = route_search(pts, route, buffer_m=200_000.0,
+                           heading_threshold=20.0, id_col="id")
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].seg == 1
+        # same point heading east no longer matches (closest seg is north)
+        out2 = route_search(pts, route, buffer_m=200_000.0,
+                            heading_threshold=20.0, id_col="id")
+        assert [r.id for r in out2.collect()] == [1]
+        east = self._pts(spark, [(2, 10.2, 5.0, 90.0)])
+        assert route_search(east, route, buffer_m=200_000.0,
+                            heading_threshold=20.0,
+                            id_col="id").count() == 0
+
+    def test_compass_wraparound(self, spark):
+        from geomesa_spark.operators.processes import route_search
+        # westbound route -> bearing 270; heading 350 is 80 deg off,
+        # heading 280 is 10 deg off; wrap test: bearing ~0 route
+        route = [[(5.0, 80.0), (5.0, 85.0)]]  # northbound, bearing 0
+        pts = self._pts(spark, [
+            (1, 5.5, 82.0, 355.0),  # 5 deg off through the 0/360 wrap
+            (2, 5.5, 82.0, 20.0),   # 20 deg off
+        ])
+        out = route_search(pts, route, buffer_m=300_000.0,
+                           heading_threshold=10.0, id_col="id")
+        assert sorted(r.id for r in out.collect()) == [1]
+
+    def test_multi_route_picks_nearest(self, spark):
+        from geomesa_spark.operators.processes import route_search
+        routes = [[(0.0, 0.0), (10.0, 0.0)],   # equator, bearing 90
+                  [(0.0, 5.0), (10.0, 5.0)]]   # lat 5, bearing ~90
+        pts = self._pts(spark, [(1, 5.0, 4.0, 90.0)])
+        out = route_search(pts, routes, buffer_m=2_000_000.0,
+                           heading_threshold=45.0, id_col="id")
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].route_id == 1
+
+    def test_zero_length_segment_safe(self, spark):
+        from geomesa_spark.operators.processes import route_search
+        route = [[(5.0, 0.0), (5.0, 0.0), (10.0, 0.0)]]
+        # degenerate seg 0 ties with seg 1 at the shared endpoint; the
+        # (route_id, seg) tie-break picks seg 0, whose bearing is 0
+        pts = self._pts(spark, [(1, 5.0, 0.5, 0.0)])
+        out = route_search(pts, route, buffer_m=200_000.0,
+                           heading_threshold=45.0, id_col="id")
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].seg == 0

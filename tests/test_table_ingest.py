@@ -134,3 +134,37 @@ class TestSpatioTemporalLayout:
         plan = df._jdf.queryExecution().executedPlan().toString()
         pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
         assert "epoch_week" in pf and "cell_prefix" in pf
+
+
+class TestSaltedWrite:
+    """write_images(salt=N): hot-cell writer spread (ShardStrategy.scala
+    analog) — one hive partition dir, multiple files, identical rows."""
+
+    def test_salt_spreads_hot_cell_files(self, spark, tmp_path):
+        import glob
+
+        from geomesa_spark.sources.table import write_images
+        imgs = spark.range(0, 4000).select(
+            F.col("id").cast("string").alias("image_id"),
+            F.lit(-120.0).alias("lon"), F.lit(40.0).alias("lat"))
+        prev = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # tiny fixture: AQE would (correctly) re-merge sub-64MB splits;
+        # disable so the test observes the salt key spread itself
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            write_images(imgs, str(tmp_path / "salted"), salt=4)
+            write_images(imgs, str(tmp_path / "plain"), salt=None)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", prev)
+        salted = glob.glob(str(tmp_path / "salted/cell_prefix=*/*.parquet"))
+        plain = glob.glob(str(tmp_path / "plain/cell_prefix=*/*.parquet"))
+        assert len(plain) == 1  # one hot cell -> one writer task
+        assert len(salted) == 4  # spread over the salt buckets
+        a = spark.read.parquet(str(tmp_path / "salted"))
+        b = spark.read.parquet(str(tmp_path / "plain"))
+        assert a.count() == b.count() == 4000
+        assert a.select("cell_prefix").distinct().collect() == \
+            b.select("cell_prefix").distinct().collect()
