@@ -130,6 +130,43 @@ def udf_cover_cells(res: int):
     return cover
 
 
+def udf_cover_cells_classified(res: int):
+    """Cover cells tagged interior/boundary (cell_cover_classified): a
+    point joined through an INTERIOR cell is provably in the region's
+    interior, so the exact refine is skipped for it — the reference's
+    contained-range shortcut applied to the join."""
+    from pyspark.sql.types import StructField, StructType
+
+    from geomesa_spark.plans.planner import cell_cover_classified
+
+    schema = ArrayType(StructType([
+        StructField("cell", LongType()),
+        StructField("interior", BooleanType())]))
+
+    @F.pandas_udf(schema)
+    def cover(wkb: pd.Series) -> pd.Series:
+        memo: dict[bytes, list] = {}
+        out = []
+        for v in wkb:
+            if v is None:
+                out.append([(-1, False)])
+                continue
+            key = bytes(v)
+            c = memo.get(key)
+            if c is None:
+                g = gio.from_wkb(key)
+                cov, interior = cell_cover_classified(g, res=res)
+                if cov is None or len(cov) == 0:
+                    c = [(-1, False)]
+                else:
+                    c = [(int(cell), bool(i))
+                         for cell, i in zip(cov, interior)]
+                memo[key] = c
+            out.append(c)
+        return pd.Series(out)
+    return cover
+
+
 def udf_refine_point(predicate: str):
     accepted = _POINT_PREDICATES[predicate]
     want_i = "I" in accepted
@@ -210,9 +247,12 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
     from geomesa_spark.cells.native import cell_expr
     pts = points.withColumn("__cell__",
                             cell_expr(point_lon, point_lat, res))
-    reg = regions.withColumn("__cells__", udf_cover_cells(res)(F.col(region_geom))) \
-                 .withColumn("__cell__", F.explode("__cells__")) \
-                 .drop("__cells__")
+    reg = regions.withColumn(
+        "__cells__", udf_cover_cells_classified(res)(F.col(region_geom))) \
+        .withColumn("__c__", F.explode("__cells__")) \
+        .withColumn("__cell__", F.col("__c__.cell")) \
+        .withColumn("__int__", F.col("__c__.interior")) \
+        .drop("__cells__", "__c__")
     if salt and salt > 1:
         reg = reg.withColumn("__salt__", F.explode(F.array(
             *[F.lit(i) for i in range(salt)])))
@@ -225,9 +265,15 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         reg = F.broadcast(reg)
     refine = udf_refine_point(predicate)
     joined = pts.join(reg, on=join_keys, how="inner")
-    out = joined.where(refine(F.col(point_lon), F.col(point_lat),
-                              F.col(region_geom)))
-    drop = ["__cell__"] + (["__salt__"] if salt and salt > 1 else [])
+    # interior-cell rows are provably 'I' for every supported predicate:
+    # accept without the exact refine, and null the WKB argument so those
+    # rows cross the Arrow boundary payload-free and skip the ray casting
+    out = joined.where(F.when(F.col("__int__"), F.lit(True)).otherwise(
+        refine(F.col(point_lon), F.col(point_lat),
+               F.when(F.col("__int__"), F.lit(None))
+               .otherwise(F.col(region_geom)))))
+    drop = ["__cell__", "__int__"] \
+        + (["__salt__"] if salt and salt > 1 else [])
     return out.drop(*drop)
 
 

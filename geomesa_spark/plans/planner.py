@@ -76,6 +76,77 @@ def cell_cover_of_geometry(geom: Geometry, res: int = PARTITION_RES,
     return cover
 
 
+def _polygon_edges(geom: Geometry):
+    """All ring edges of every polygon part as flat arrays, or None if the
+    geometry has any non-polygon part (callers fall back conservative)."""
+    axs, ays, bxs, bys = [], [], [], []
+    for part in flatten(geom):
+        if not isinstance(part, Polygon):
+            return None
+        if part.is_empty():
+            continue
+        for ring in part.rings():
+            axs.append(ring[:-1, 0]); ays.append(ring[:-1, 1])
+            bxs.append(ring[1:, 0]); bys.append(ring[1:, 1])
+    if not axs:
+        return None
+    return (np.concatenate(axs), np.concatenate(ays),
+            np.concatenate(bxs), np.concatenate(bys))
+
+
+def _any_edge_hits_rect(edges, rx0: float, ry0: float,
+                        rx1: float, ry1: float) -> bool:
+    """True if any edge segment touches the closed rectangle (exact:
+    bbox-overlap + corner side test — no corner strictly one side)."""
+    ax, ay, bx, by = edges
+    ov = ((np.maximum(ax, bx) >= rx0) & (np.minimum(ax, bx) <= rx1)
+          & (np.maximum(ay, by) >= ry0) & (np.minimum(ay, by) <= ry1))
+    if not ov.any():
+        return False
+    ax, ay, bx, by = ax[ov], ay[ov], bx[ov], by[ov]
+    dx, dy = bx - ax, by - ay
+    allpos = np.ones(len(ax), dtype=bool)
+    allneg = np.ones(len(ax), dtype=bool)
+    for cx, cy in ((rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1)):
+        cr = dx * (cy - ay) - dy * (cx - ax)
+        allpos &= cr > 0
+        allneg &= cr < 0
+    return bool((~(allpos | allneg)).any())
+
+
+def cell_cover_classified(geom: Geometry, res: int = PARTITION_RES,
+                          max_cells: int = DEFAULT_MAX_COVER
+                          ) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Cover cells split into INTERIOR (cell rectangle strictly inside the
+    geometry's interior — every point in it locates 'I', no exact refine
+    needed) vs boundary cells. The reference's contained-vs-intersecting
+    range distinction (Z2IndexKeySpace.getRangeBytes contained ranges /
+    XZ query windows), which lets scans skip per-row predicate evaluation
+    for fully-covered ranges.
+
+    Returns (cells, interior_mask); interior_mask is None when cells is
+    None (whole world) and all-False when the geometry has non-polygon
+    parts (conservative)."""
+    cover = cell_cover_of_geometry(geom, res=res, max_cells=max_cells)
+    if cover is None or len(cover) == 0:
+        return cover, None if cover is None else np.zeros(0, dtype=bool)
+    interior = np.zeros(len(cover), dtype=bool)
+    edges = _polygon_edges(geom)
+    if edges is None:
+        return cover, interior
+    x0s, y0s, x1s, y1s = cell_bounds(cover, res)
+    from geomesa_spark.operators.join import locate_points_in_geometry
+    loc = locate_points_in_geometry(
+        (np.asarray(x0s, dtype=np.float64) + np.asarray(x1s)) / 2.0,
+        (np.asarray(y0s, dtype=np.float64) + np.asarray(y1s)) / 2.0, geom)
+    for i in range(len(cover)):
+        if loc[i] == 1 and not _any_edge_hits_rect(
+                edges, float(x0s[i]), float(y0s[i]),
+                float(x1s[i]), float(y1s[i])):
+            interior[i] = True
+    return cover, interior
+
+
 def prune_by_geometry(df: DataFrame, geom: Geometry, cell_col: str = "cell_prefix",
                       res: int = PARTITION_RES,
                       max_cells: int = DEFAULT_MAX_COVER) -> DataFrame:

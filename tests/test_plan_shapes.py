@@ -112,3 +112,55 @@ class TestScanPushdown:
         plan = _plan(tile_counts(imgs.select("lon", "lat", "image_id")))
         read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
         assert "bytes" not in read_schema
+
+
+class TestClassifiedCover:
+    """cell_cover_classified: interior cells are PROVABLY all-'I' (the
+    contained-range shortcut), boundary cells carry the geometry edge."""
+
+    def test_interior_cells_are_strictly_inside(self, spark):
+        import numpy as np
+
+        from geomesa_spark.cells.z2 import cell_bounds
+        from geomesa_spark.geo.model import Polygon
+        from geomesa_spark.operators.join import locate_points_in_geometry
+        from geomesa_spark.plans.planner import cell_cover_classified
+
+        # concave polygon with a diagonal edge crossing many res-6 cells
+        poly = Polygon([[-60.0, -30.0], [60.0, -30.0], [60.0, 40.0],
+                        [0.0, 5.0], [-60.0, 40.0], [-60.0, -30.0]])
+        cells, interior = cell_cover_classified(poly, res=6)
+        assert interior.any() and (~interior).any()
+        x0, y0, x1, y1 = cell_bounds(cells, 6)
+        rng = np.random.default_rng(7)
+        for i in np.flatnonzero(interior):
+            xs = rng.uniform(x0[i], x1[i], 50)
+            ys = rng.uniform(y0[i], y1[i], 50)
+            # corners included: closed-rect claim
+            xs = np.concatenate([xs, [x0[i], x1[i], x0[i], x1[i]]])
+            ys = np.concatenate([ys, [y0[i], y0[i], y1[i], y1[i]]])
+            assert (locate_points_in_geometry(xs, ys, poly) == 1).all()
+
+    def test_boundary_point_via_interior_shortcut_join(self, spark):
+        from geomesa_spark.geo.io import to_wkb
+        from geomesa_spark.geo.model import Polygon
+        from geomesa_spark.operators.join import spatial_join
+
+        # region aligned to res-4 cell edges: its boundary lies ON cell
+        # borders; boundary points must NOT be accepted by st_contains
+        poly = Polygon([[-45.0, -22.5], [45.0, -22.5], [45.0, 22.5],
+                        [-45.0, 22.5], [-45.0, -22.5]])
+        regions = spark.createDataFrame(
+            [("r", bytearray(to_wkb(poly)))], "region_id string, geom binary")
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0),        # interior
+             (2, -45.0, 0.0),      # on boundary
+             (3, 0.0, 22.5),       # on boundary
+             (4, 100.0, 0.0)],     # outside
+            "id long, lon double, lat double")
+        got = spatial_join(pts, regions, predicate="st_contains",
+                           broadcast_regions=True)
+        assert sorted(r.id for r in got.collect()) == [1]
+        cov = spatial_join(pts, regions, predicate="st_covers",
+                          broadcast_regions=True)
+        assert sorted(r.id for r in cov.collect()) == [1, 2, 3]
