@@ -71,6 +71,37 @@ class Converter:
                else spark.read.orc(path_or_df))
         return self._apply(raw)
 
+    def from_parquet(self, spark: SparkSession, path_or_df) -> DataFrame:
+        """Parquet source (geomesa-convert parquet module): raw columns
+        are the parquet schema's own names; field exprs re-map them onto
+        the declared feature schema with the same validation modes."""
+        raw = (path_or_df if isinstance(path_or_df, DataFrame)
+               else spark.read.parquet(path_or_df))
+        return self._apply(raw)
+
+    def from_jdbc(self, spark: SparkSession, url: str, table: str, *,
+                  properties: dict | None = None,
+                  partition_column: str | None = None,
+                  lower_bound=None, upper_bound=None,
+                  num_partitions: int | None = None) -> DataFrame:
+        """JDBC source (geomesa-convert JDBC converter). Delegates to
+        Spark's built-in JDBC datasource; pass ``partition_column`` +
+        bounds to parallelize the read (one task per id-range slice —
+        required for any table that doesn't fit one executor). No JDBC
+        driver jar ships in this container, so this is exercised only
+        when a driver is on the classpath (documented env gate, like the
+        Kafka broker)."""
+        r = (spark.read.format("jdbc")
+             .option("url", url).option("dbtable", table))
+        for k, v in (properties or {}).items():
+            r = r.option(k, v)
+        if partition_column is not None:
+            r = (r.option("partitionColumn", partition_column)
+                 .option("lowerBound", str(lower_bound))
+                 .option("upperBound", str(upper_bound))
+                 .option("numPartitions", str(num_partitions or 8)))
+        return self._apply(r.load())
+
     def from_avro(self, spark: SparkSession, path_or_df) -> DataFrame:
         """Avro object-container source. The spark-avro jar is absent in
         this environment, so files are read distributed via binaryFile +
