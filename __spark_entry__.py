@@ -902,6 +902,32 @@ def q_hash_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "hash")
 
 
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate images by perceptual-hash hamming distance: the
+    deterministic image-id grid derives phash natively (sha2 + conv),
+    planted duplicates flip <= 3 known bits, and the generalized
+    pigeonhole banding (text/dedup.py:hamming_pairs) recovers exactly the
+    planted pairs — value-checked against a DuckDB cross-join oracle."""
+    from geomesa_spark.operators.tiles import phash_expr, phash_pairs
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_id") < 3000).select("event_id")
+    base = ev.select(
+        F.format_string("img-%012d", "event_id").alias("image_id"),
+        phash_expr(F.format_string("img-%012d", "event_id")).alias("phash"),
+        F.col("event_id"))
+    mask = F.expr(
+        "shiftleft(1L, cast(event_id*7%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*13%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*29%63 as int))")
+    dups = base.select(
+        F.format_string("dup-%012d", "event_id").alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+        "event_id")
+    corpus = base.unionByName(dups).select("image_id", "phash")
+    out = phash_pairs(corpus, max_hamming=3)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # RouteSearch fixtures: two long polylines over the global event grid;
 # every coordinate is an exact binary double so the Spark literals and
 # the SQL VALUES are bit-identical.
@@ -992,6 +1018,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_offset": q_date_offset,
         "hash_attribute": q_hash_attribute,
         "route_search": q_route_search,
+        "phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -1536,6 +1563,34 @@ def oracle_sql() -> dict[str, str]:
                      AS hash
             FROM events ORDER BY event_id""",
         "route_search": _route_search_sql(),
+        "phash_near_dup": """
+            WITH ids AS (
+              SELECT event_id,
+                     printf('img-%012d', event_id) AS iid,
+                     printf('dup-%012d', event_id) AS did
+              FROM events WHERE event_id < 3000),
+            ph AS (
+              SELECT event_id, iid, did,
+                     (CASE WHEN u >= 9223372036854775808::HUGEINT
+                           THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                           ELSE u::HUGEINT END)::BIGINT AS phash
+              FROM (SELECT *,
+                      ('0x' || substr(sha256(iid), 1, 16))::UBIGINT AS u
+                    FROM ids)),
+            corpus AS (
+              SELECT iid AS image_id, phash FROM ph
+              UNION ALL
+              SELECT did,
+                     xor(phash,
+                         xor(xor(1::BIGINT << CAST(event_id*7%63 AS INT),
+                                 1::BIGINT << CAST(event_id*13%63 AS INT)),
+                             1::BIGINT << CAST(event_id*29%63 AS INT)))
+              FROM ph)
+            SELECT x.image_id AS a, y.image_id AS b,
+                   CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+            FROM corpus x JOIN corpus y ON x.image_id < y.image_id
+            WHERE bit_count(xor(x.phash, y.phash)) <= 3
+            ORDER BY a, b""",
         "stats_sketches": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    round(quantile_cont(value, 0.5), 6) AS q50,

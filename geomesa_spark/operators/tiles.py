@@ -137,3 +137,33 @@ def tile_counts(images: DataFrame, *, res: int = PARTITION_RES) -> DataFrame:
     assignment' output compared against the reference's partition naming)."""
     return (assign_tiles(images, res=res)
             .groupBy("tile").agg(F.count("*").alias("n_images")))
+
+
+def phash_expr(image_id):
+    """The fixture's perceptual-hash contract as a NATIVE expression:
+    first 8 bytes of sha256(image_id), big-endian, signed int64
+    (raster/fixtures.py:_phash) — sha2 + base-16 conv + two's-complement
+    wrap, all whole-stage codegen, replicable bit-exactly in SQL engines
+    (DuckDB: ('0x' || substr(sha256(id),1,16))::UBIGINT wrapped)."""
+    u = F.conv(F.substring(F.sha2(image_id, 256), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+    two63 = F.lit(str(2**63)).cast("decimal(20,0)")
+    two64 = F.lit(str(2**64)).cast("decimal(21,0)")
+    return F.when(u >= two63, (u.cast("decimal(21,0)") - two64)
+                  .cast("long")).otherwise(u.cast("long"))
+
+
+def phash_pairs(images: DataFrame, *, max_hamming: int = 3,
+                id_col: str = "image_id",
+                phash_col: str = "phash") -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-side twin of simhash dedup, exact via the same generalized
+    pigeonhole banding (text/dedup.py:hamming_pairs). At 10^12 images the
+    chunk equi-join is the only shuffle and the 16-bit chunks keep it
+    selective; pre-block by cell/tile for pathological corpora of
+    identical frames. Output: (a, b, hamming), a < b."""
+    from geomesa_spark.text.dedup import hamming_pairs
+    return hamming_pairs(images.select(id_col, phash_col),
+                         fp_col=phash_col, id_col=id_col,
+                         max_hamming=max_hamming,
+                         n_chunks=max(4, max_hamming + 1))

@@ -311,6 +311,50 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
     return agg.select(id_col, sig.cast("long").alias(out))
 
 
+def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
+                  max_hamming: int, n_chunks: int | None = None
+                  ) -> DataFrame:
+    """All id pairs whose int64 fingerprints are within ``max_hamming``
+    bits — EXACT, for any 64-bit fingerprint column (simhash, image
+    phash, rolling doc hash).
+
+    Pigeonhole banding generalized: the word splits into ``n_chunks``
+    (default max_hamming + 1) near-even bit chunks; a pair within
+    ``max_hamming`` cannot differ in every chunk, so the chunk equi-join
+    finds every such pair, and bit_count(xor) verifies the distance.
+    Wider chunks keep the join selective — at billions of rows keep
+    chunks >= 8 bits (n_chunks <= 8 -> max_hamming <= 7) or pre-block on
+    another key first.
+
+    Output: (a, b, hamming), a < b."""
+    n = n_chunks if n_chunks is not None else max_hamming + 1
+    if not 1 <= n <= 64:
+        raise ValueError(f"n_chunks must be in [1, 64], got {n}")
+    if n < max_hamming + 1:
+        raise ValueError(
+            f"{n} chunks cannot be exact for hamming {max_hamming}")
+    base, extra = divmod(64, n)
+    chunks, off = [], 0
+    for c in range(n):
+        width = base + (1 if c < extra else 0)
+        chunks.append(F.struct(
+            F.lit(c).alias("c"),
+            F.shiftrightunsigned(fp_col, off)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("v")))
+        off += width
+    ex = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"),
+                   F.explode(F.array(*chunks)).alias("ck"))
+    left = ex.select(F.col("_id").alias("a"),
+                     F.col("_fp").alias("_ha"), "ck")
+    right = ex.select(F.col("_id").alias("b"),
+                      F.col("_fp").alias("_hb"), "ck")
+    cand = (left.join(right, "ck").where(F.col("a") < F.col("b"))
+            .select("a", "b", "_ha", "_hb").distinct())
+    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (cand.select("a", "b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
 def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
                   id_col: str = "doc_id", text: str = "text") -> DataFrame:
     """All pairs with hamming(simhash_a, simhash_b) <= max_hamming.
@@ -320,19 +364,5 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
     (exact); bit_count(xor) filters the verified distance."""
     assert max_hamming <= 3, "4-chunk pigeonhole is exact only for <= 3"
     sig = simhash(df, id_col=id_col, text=text)
-    chunk = F.array(*[
-        F.struct(F.lit(c).alias("c"),
-                 F.shiftrightunsigned("simhash", 16 * c)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("v"))
-        for c in range(4)])
-    ex = sig.select(F.col(id_col).alias("_id"), "simhash",
-                    F.explode(chunk).alias("ck"))
-    left = ex.select(F.col("_id").alias("a"),
-                     F.col("simhash").alias("_ha"), "ck")
-    right = ex.select(F.col("_id").alias("b"),
-                      F.col("simhash").alias("_hb"), "ck")
-    cand = (left.join(right, "ck").where(F.col("a") < F.col("b"))
-            .select("a", "b", "_ha", "_hb").distinct())
-    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (cand.select("a", "b", dist.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    return hamming_pairs(sig, fp_col="simhash", id_col=id_col,
+                         max_hamming=max_hamming, n_chunks=4)

@@ -321,3 +321,61 @@ class TestSimilarity:
                embedding_near_dup_pairs(emb, threshold=0.4,
                                         exact=False).collect()}
         assert lsh <= ex
+
+
+class TestHammingPairs:
+    """Generalized pigeonhole banding over any int64 fingerprint."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, fp long")
+
+    def test_exact_vs_bruteforce(self, spark):
+        import itertools
+        import random
+        rng = random.Random(3)
+        rows = [(i, rng.getrandbits(63) - (1 << 62)) for i in range(40)]
+        # plant close pairs
+        rows += [(100 + i, rows[i][1] ^ (1 << (i * 5 % 63)))
+                 for i in range(6)]
+        from geomesa_spark.text.dedup import hamming_pairs
+        got = {(r.a, r.b, r.hamming) for r in hamming_pairs(
+            self._df(spark, rows), fp_col="fp", id_col="id",
+            max_hamming=4).collect()}
+        want = set()
+        for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if h <= 4 and ia != ib:
+                want.add((min(ia, ib), max(ia, ib), h))
+        assert got == want
+
+    def test_chunk_count_validation(self, spark):
+        import pytest as _pt
+        from geomesa_spark.text.dedup import hamming_pairs
+        df = self._df(spark, [(1, 5)])
+        with _pt.raises(ValueError):
+            hamming_pairs(df, fp_col="fp", id_col="id",
+                          max_hamming=5, n_chunks=4)
+
+    def test_simhash_pairs_unchanged(self, spark, docs):
+        """The refactor onto hamming_pairs keeps simhash_pairs exact."""
+        from geomesa_spark.text.dedup import simhash, simhash_pairs
+        sig = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        got = {(r.a, r.b) for r in simhash_pairs(docs).collect()}
+        want = set()
+        ids = sorted(sig)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    want.add((min(a, b), max(a, b)))
+        assert got == want
+
+    def test_phash_pairs_planted(self, spark):
+        from geomesa_spark.operators.tiles import phash_pairs
+        rows = [("a", 0x0123456789ABCDEF - (1 << 63)),
+                ("a2", (0x0123456789ABCDEF - (1 << 63)) ^ 0b101),
+                ("far", 0x7EDCBA9876543210)]
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        got = [(r.a, r.b, r.hamming) for r in phash_pairs(
+            df, max_hamming=3).collect()]
+        assert got == [("a", "a2", 2)]
