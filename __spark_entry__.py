@@ -672,9 +672,10 @@ def _n_images(sf_dir: str) -> int:
 
 
 def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile assignment over the deterministic image fixture (rows-only:
-    sha256 phash + Gaussian clusters are not SQL-expressible; tile math is
-    oracle-checked via cell_assignment and pytest)."""
+    """Tile assignment over the deterministic image fixture, value-checked
+    end-to-end: the DuckDB oracle regenerates every coordinate bit-exactly
+    (sha256 phash bits -> base lon/lat; sha256 Irwin-Hall city offsets for
+    hot rows) and re-derives the Morton tile in SQL."""
     from geomesa_spark.operators.tiles import tile_counts
     from geomesa_spark.raster.fixtures import images_df
     return tile_counts(images_df(spark, _n_images(sf_dir)))
@@ -1041,6 +1042,52 @@ def _z2_sql(res: int) -> str:
         terms.append(f"((({xbin}) >> {i}) & 1) << {2 * i}")
         terms.append(f"((({ybin}) >> {i}) & 1) << {2 * i + 1}")
     return " | ".join(f"({t})" for t in terms)
+
+
+def _image_tiles_sql() -> str:
+    """SQL twin of q_image_tile_counts: regenerates the image fixture's
+    coordinates bit-exactly (raster/fixtures.py:_lonlat / _hot_offsets —
+    every op is IEEE-exact or a single deterministic rounding) and Morton-
+    bins them with the same op order as cells/native.py:_bin_expr. The
+    image count mirrors _n_images: events has 1M*sf rows, images 50k*sf,
+    floor 200."""
+    from geomesa_spark.raster.fixtures import CITIES, _IH_SCALE
+    cx = ("CASE (i // 10) % 5 "
+          + " ".join(f"WHEN {k} THEN {c[0]!r}" for k, c in enumerate(CITIES))
+          + " END")
+    cy = ("CASE (i // 10) % 5 "
+          + " ".join(f"WHEN {k} THEN {c[1]!r}" for k, c in enumerate(CITIES))
+          + " END")
+
+    def ih(lo: int) -> str:
+        words = " + ".join(
+            f"(('0x' || substr(gh, {1 + 4 * j}, 4))::UBIGINT::DOUBLE"
+            " / 65536.0)" for j in range(lo, lo + 8))
+        return f"({words} - 4.0) * {_IH_SCALE!r}"
+
+    return f"""
+        WITH idx AS (
+          SELECT i FROM range(0, 1000000) t(i)
+          WHERE i < greatest(200, (SELECT count(*) FROM events) // 20)),
+        base AS (
+          SELECT i,
+            ('0x' || substr(sha256('img-' || lpad(i::VARCHAR, 12, '0')),
+                            1, 16))::UBIGINT AS u,
+            sha256('geo-' || i::VARCHAR) AS gh
+          FROM idx),
+        coords AS (
+          SELECT i,
+            CASE WHEN i % 10 = 0
+              THEN least(greatest(({cx}) + {ih(0)}, -180.0), 180.0)
+              ELSE -180.0 + (360.0 * ((u >> 20) & 1048575)) / 1048576.0
+            END AS lon,
+            CASE WHEN i % 10 = 0
+              THEN least(greatest(({cy}) + {ih(8)}, -90.0), 90.0)
+              ELSE -90.0 + (180.0 * (u & 1048575)) / 1048576.0
+            END AS lat
+          FROM base)
+        SELECT ({_z2_sql(4)}) AS tile, count(*) AS n_images
+        FROM coords GROUP BY 1 ORDER BY 1"""
 
 
 def _route_search_sql() -> str:
@@ -1654,13 +1701,12 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(sum(cx*ny - nx*cy)) / 2.0, 1) AS area
             FROM seg WHERE nx IS NOT NULL
             GROUP BY u ORDER BY user_id""",
+        "image_tile_counts": _image_tiles_sql(),
     }
-    # Deliberately rows-only (no oracle entry): image_tile_counts +
-    # image_brightness — the fixture's pixels come from sha256-seeded
-    # Gaussian clusters and the decode step is a pandas-UDF codec, neither
-    # SQL-expressible; per-row invariants (PSNR>=40dB decode fidelity,
-    # tile math via the value-checked cell_assignment) are pytest-gated in
-    # tests/test_tiles.py + tests/test_codec.py.
+    # Deliberately rows-only (no oracle entry): image_brightness — the
+    # decode step is a pandas-UDF codec with no SQL twin; decode fidelity
+    # (PSNR>=40dB) and the per-format means are pytest-gated in
+    # tests/test_raster_tiles.py + tests/test_codec.py.
 
 
 def entry(spark: SparkSession) -> DataFrame:

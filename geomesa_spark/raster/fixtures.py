@@ -7,9 +7,11 @@ data), so any executor can regenerate any row — this is what makes the
 per-row pixel/caption invariant checkable and the ingest job resumable.
 
 Geo columns are derived from ``phash`` bits as documented in FIXTURES.md §1;
-10% of rows are pulled into 5 Gaussian "city" clusters (sigma = 0.5 deg) to
-create hot tiles for the skew tests (reference analog: shard-spreading of
-hot ranges, /root/reference/geomesa-index-api/src/main/scala/org/locationtech/geomesa/index/api/ShardStrategy.scala:42-80).
+10% of rows are pulled into 5 near-Gaussian "city" clusters (sigma = 0.5
+deg, Irwin-Hall sum of 8 sha256-derived uniforms — pure IEEE +,-,*,/ so a
+SQL engine replicates every coordinate bit-exactly) to create hot tiles for
+the skew tests (reference analog: shard-spreading of hot ranges,
+/root/reference/geomesa-index-api/src/main/scala/org/locationtech/geomesa/index/api/ShardStrategy.scala:42-80).
 """
 
 from __future__ import annotations
@@ -37,15 +39,33 @@ def _phash(image_id: str) -> int:
                           "big", signed=True)
 
 
+# sigma(0.5) / std(IrwinHall(8)) = 0.5 / sqrt(8/12); a hard-coded literal so
+# the SQL oracle parses the exact same double (no libm sqrt on either side).
+_IH_SCALE = 0.6123724356957945
+
+
+def _hot_offsets(i: int) -> tuple[float, float]:
+    """Near-Gaussian (sigma 0.5) lon/lat offsets for hot row i: sum of 8
+    uniform 16-bit words from sha256(f"geo-{i}") per coordinate, centred
+    and scaled. Every op is exact in float64 except the final scale/add,
+    so DuckDB reproduces the coordinates bit-for-bit (the oracle for
+    image_tile_counts depends on this)."""
+    d = hashlib.sha256(f"geo-{i}".encode()).digest()
+    w = [int.from_bytes(d[2 * j:2 * j + 2], "big") for j in range(16)]
+    s_lon = sum(x / 65536.0 for x in w[:8])   # exact: dyadic rationals
+    s_lat = sum(x / 65536.0 for x in w[8:])
+    return ((s_lon - 4.0) * _IH_SCALE, (s_lat - 4.0) * _IH_SCALE)
+
+
 def _lonlat(i: int, phash: int) -> tuple[float, float]:
     u = phash & 0xFFFFFFFFFFFFFFFF
     lon = -180.0 + 360.0 * ((u >> 20) & 0xFFFFF) / float(1 << 20)
     lat = -90.0 + 180.0 * (u & 0xFFFFF) / float(1 << 20)
     if i % 10 == 0:  # hot-tile rows
         cx, cy = CITIES[(i // 10) % len(CITIES)]
-        rng = np.random.default_rng(SEED + 7 * i)
-        lon = float(np.clip(cx + rng.normal(0.0, 0.5), -180.0, 180.0))
-        lat = float(np.clip(cy + rng.normal(0.0, 0.5), -90.0, 90.0))
+        dx, dy = _hot_offsets(i)
+        lon = min(max(cx + dx, -180.0), 180.0)
+        lat = min(max(cy + dy, -90.0), 90.0)
     return lon, lat
 
 
