@@ -131,6 +131,79 @@ def to_arrow_ipc_partitions(df: DataFrame,
     return df.mapInPandas(encode, "n_rows long, ipc binary")
 
 
+def to_arrow_ipc_delta(df: DataFrame,
+                       dictionary_cols: tuple[str, ...] = ()
+                       ) -> DataFrame:
+    """Arrow IPC export in the reference's DELTA-dictionary mode
+    (ArrowScan's batch aggregation with growing dictionaries,
+    /root/reference/geomesa-index-api/src/main/scala/org/locationtech/
+    geomesa/index/iterators/ArrowScan.scala — the DeltaAggregate form):
+    each partition streams its incoming Arrow batches as SEPARATE record
+    batches; a ``dictionary_cols`` dictionary only ever grows, and batches
+    after the first carry just the NEW values as IPC dictionary-delta
+    messages instead of re-sending the whole dictionary.
+
+    Compared to ``to_arrow_ipc_partitions`` (one batch per partition),
+    this is the shape for long scans delivering results incrementally:
+    constant memory per batch, no per-partition concat, and the encoded
+    dictionary bytes are proportional to NEW values seen, not values
+    re-seen. ``arrow_ipc_reduce`` consumes either form unchanged.
+    """
+    import pyarrow as pa
+
+    dcols = tuple(dictionary_cols)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # built per-task: IpcWriteOptions is not cloudpickle-able
+        opts = pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+        lookup: dict[str, dict] = {c: {} for c in dcols}
+        values: dict[str, list] = {c: [] for c in dcols}
+        writer = None
+        sink = schema = None
+        n_rows = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            plain = pa.Table.from_pandas(pdf, preserve_index=False)
+            arrays, fields = [], []
+            for name in plain.column_names:
+                col = plain.column(name).combine_chunks()
+                if name in dcols:
+                    look, vals = lookup[name], values[name]
+                    raw = pdf[name]
+                    for v in pd.unique(raw.dropna()):
+                        if v not in look:
+                            look[v] = len(vals)
+                            vals.append(v)
+                    mask = raw.isna().to_numpy()
+                    idx = raw.map(look).to_numpy(dtype="float64",
+                                                 na_value=-1)
+                    col = pa.DictionaryArray.from_arrays(
+                        pa.array(idx.astype("int32"), type=pa.int32(),
+                                 mask=mask),
+                        pa.array(vals))
+                arrays.append(col)
+                fields.append(pa.field(name, col.type))
+            if writer is None:
+                schema = pa.schema(fields)
+                sink = pa.BufferOutputStream()
+                writer = pa.ipc.new_stream(sink, schema, options=opts)
+            else:  # pin non-dict types to the first batch's schema
+                arrays = [a if f.type == schema.field(i).type
+                          else a.cast(schema.field(i).type)
+                          for i, (a, f) in enumerate(zip(arrays, fields))]
+            writer.write_batch(
+                pa.record_batch(arrays, schema=schema))
+            n_rows += len(pdf)
+        if writer is None:
+            return
+        writer.close()
+        yield pd.DataFrame({"n_rows": [n_rows],
+                            "ipc": [sink.getvalue().to_pybytes()]})
+
+    return df.mapInPandas(encode, "n_rows long, ipc binary")
+
+
 def arrow_ipc_reduce(parts: list[bytes],
                      sort_by: str | None = None) -> bytes:
     """Client-side reduce of per-partition IPC streams into one stream

@@ -246,3 +246,90 @@ def read_avro(spark, path: str):
                     yield pd.DataFrame(recs, columns=names)
 
     return files.select("content").mapInPandas(parse, ddl)
+
+
+# ------------------------------------------- confluent schema-registry wire
+
+REGISTRY_MAGIC = 0  # 1 magic byte + 4-byte big-endian schema id + avro body
+
+
+def encode_registry_message(schema_id: int, schema: dict, record) -> bytes:
+    """One confluent-framed avro message (the format the reference's
+    schema-registry converter consumes, /root/reference/geomesa-convert/
+    geomesa-convert-avro-schema-registry/src/main/scala/org/locationtech/
+    geomesa/convert/avro/registry/AvroSchemaRegistryConverter.scala:74-117:
+    MAGIC_BYTE_LENGTH=1, SCHEMA_ID_LENGTH=4)."""
+    out = io.BytesIO()
+    out.write(bytes([REGISTRY_MAGIC]))
+    out.write(schema_id.to_bytes(4, "big"))
+    _write_value(out, schema, record)
+    return out.getvalue()
+
+
+def decode_registry_stream(data: bytes, registry: dict[int, dict]
+                           ) -> list[tuple[int, dict]]:
+    """Decode a stream of CONCATENATED framed messages (the reference
+    parses whole input streams message-by-message, resolving each reader
+    by the embedded id — GenericRecordSchemaRegistryIterator). Returns
+    [(schema_id, record), ...]."""
+    r = _Reader(data)
+    out = []
+    while r.p < len(r.d):
+        if r.read(1)[0] != REGISTRY_MAGIC:
+            raise ValueError("bad registry magic byte")
+        sid = int.from_bytes(r.read(4), "big")
+        try:
+            schema = registry[sid]
+        except KeyError:
+            raise KeyError(f"schema id {sid} not in registry") from None
+        out.append((sid, r.value(schema)))
+    return out
+
+
+def read_avro_registry(spark, path_or_df, registry: dict[int, dict], *,
+                       reader_schema_id: int | None = None):
+    """Distributed decode of confluent-framed avro with SCHEMA EVOLUTION:
+    each file may hold messages written under ANY registered schema
+    version; every record is decoded with its writer schema (resolved by
+    the embedded id) and projected onto the READER schema's fields
+    (``reader_schema_id``, default = highest registered id, i.e. latest
+    version), filling absent fields from the reader schema's defaults —
+    the avro resolution rule the reference gets from GenericDatumReader.
+
+    ``registry`` is a plain {id: parsed-schema-json} dict broadcast to
+    executors: a live Confluent HTTP registry client is env-blocked in
+    this sandbox (like the Kafka broker), but the wire format, per-id
+    reader cache semantics and evolution projection are the real ones.
+    Output columns: reader fields + ``_schema_id``.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+    rid = reader_schema_id if reader_schema_id is not None \
+        else max(registry)
+    reader = registry[rid]
+    names = [f["name"] for f in reader["fields"]]
+    defaults = {f["name"]: f.get("default") for f in reader["fields"]}
+    ddl = spark_schema_of(reader) + ", _schema_id int"
+
+    if isinstance(path_or_df, DataFrame):
+        files = path_or_df.select(path_or_df.columns[0])
+    else:
+        files = spark.read.format("binaryFile").load(path_or_df) \
+            .select("content")
+    col = files.columns[0]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[col]:
+                for sid, rec in decode_registry_stream(bytes(blob),
+                                                       registry):
+                    rows.append([rec.get(n, defaults[n]) for n in names]
+                                + [sid])
+            if rows:
+                yield pd.DataFrame(rows, columns=names + ["_schema_id"])
+
+    return files.mapInPandas(parse, ddl)

@@ -114,6 +114,18 @@ class Converter:
             raw = read_avro(spark, path_or_df)
         return self._apply(raw)
 
+    def from_avro_registry(self, spark: SparkSession, path_or_df,
+                           registry: dict[int, dict], *,
+                           reader_schema_id: int | None = None) -> DataFrame:
+        """Confluent-framed avro source with schema-registry evolution
+        (geomesa-convert-avro-schema-registry parity; a live registry
+        service is env-blocked, so ``registry`` is the id->schema map the
+        client would cache). See sources/avro.py:read_avro_registry."""
+        from geomesa_spark.sources.avro import read_avro_registry
+        return self._apply(read_avro_registry(
+            spark, path_or_df, registry,
+            reader_schema_id=reader_schema_id))
+
     def from_xml(self, spark: SparkSession, path: str, *,
                  record_tag: str,
                  xpaths: dict[str, str]) -> DataFrame:

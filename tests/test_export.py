@@ -130,6 +130,57 @@ class TestArrowIPC:
                       for r in ev.collect())
         assert got == want
 
+    def test_delta_dictionary_stream(self, spark):
+        """Delta mode: multiple record batches per partition, dictionary
+        messages after the first carry only NEW values (ArrowScan's
+        DeltaAggregate shape)."""
+        import pyarrow as pa
+        from geomesa_spark.operators.export import (arrow_ipc_reduce,
+                                                    to_arrow_ipc_delta)
+        ev = spark.read.parquet(f"{SF}/events.parquet") \
+            .select("event_id", "event_type", "user_id")
+        n = ev.count()
+        # force several small Arrow batches per partition
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        try:
+            parts = to_arrow_ipc_delta(
+                ev.coalesce(1), dictionary_cols=("event_type",)).collect()
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        assert len(parts) == 1 and parts[0]["n_rows"] == n
+        blob = bytes(parts[0]["ipc"])
+        # message walk: >1 record batch; dictionary deltas are tiny
+        rd = pa.ipc.MessageReader.open_stream(pa.BufferReader(blob))
+        kinds, dict_sizes = [], []
+        while True:
+            try:
+                m = rd.read_next_message()
+            except StopIteration:
+                break
+            kinds.append(m.type)
+            if m.type == "dictionary":
+                dict_sizes.append(m.body.size)
+        assert kinds.count("record batch") > 1
+        assert len(dict_sizes) >= 1
+        # every delta after the first full dictionary is strictly smaller
+        # than a full re-send would be (few event types, seen early)
+        if len(dict_sizes) > 1:
+            assert max(dict_sizes[1:]) <= dict_sizes[0]
+        # round-trip: same rows, dictionary-typed column
+        with pa.ipc.open_stream(pa.BufferReader(blob)) as r:
+            t = r.read_all()
+        assert pa.types.is_dictionary(t.schema.field("event_type").type)
+        got = sorted((r["event_id"], r["event_type"], r["user_id"])
+                     for r in t.to_pylist())
+        want = sorted((r["event_id"], r["event_type"], r["user_id"])
+                      for r in ev.collect())
+        assert got == want
+        # the reduce consumes delta streams unchanged
+        blob2 = arrow_ipc_reduce([parts[0]["ipc"]])
+        with pa.ipc.open_stream(pa.BufferReader(blob2)) as r:
+            t2 = r.read_all()
+        assert t2.num_rows == n
+
     def test_partial_streams_are_self_contained(self, spark):
         import pyarrow as pa
         from geomesa_spark.operators.export import to_arrow_ipc_partitions

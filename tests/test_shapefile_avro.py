@@ -117,3 +117,64 @@ class TestXmlConverter:
         assert rows == {"f1": ("alpha", 1.5, 2.5),
                         "f2": ("beta", -3.25, 4.0),
                         "f3": ("gamma", 9.0, -9.0)}
+
+
+class TestAvroSchemaRegistry:
+    """Confluent wire format + schema evolution: mixed-version framed
+    messages decode against the latest reader schema with defaults."""
+
+    V1 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"}]}
+    V2 = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"},
+        {"name": "score", "type": "double", "default": -1.0}]}
+    REGISTRY = {7: V1, 9: V2}
+
+    def _stream(self) -> bytes:
+        from geomesa_spark.sources.avro import encode_registry_message
+        msgs = [encode_registry_message(7, self.V1,
+                                        {"id": 1, "kind": "a"}),
+                encode_registry_message(9, self.V2,
+                                        {"id": 2, "kind": "b",
+                                         "score": 0.5}),
+                encode_registry_message(7, self.V1,
+                                        {"id": 3, "kind": "c"})]
+        return b"".join(msgs)
+
+    def test_frame_roundtrip(self):
+        from geomesa_spark.sources.avro import decode_registry_stream
+        recs = decode_registry_stream(self._stream(), self.REGISTRY)
+        assert [(sid, r["id"]) for sid, r in recs] == \
+               [(7, 1), (9, 2), (7, 3)]
+
+    def test_unknown_schema_id_raises(self):
+        from geomesa_spark.sources.avro import (decode_registry_stream,
+                                                encode_registry_message)
+        blob = encode_registry_message(99, self.V1, {"id": 1, "kind": "x"})
+        with pytest.raises(KeyError, match="99"):
+            decode_registry_stream(blob, self.REGISTRY)
+
+    def test_distributed_evolution_read(self, spark, tmp_path):
+        from geomesa_spark.sources.avro import read_avro_registry
+        d = tmp_path / "reg"
+        d.mkdir()
+        (d / "part-0.bin").write_bytes(self._stream())
+        df = read_avro_registry(spark, str(d), self.REGISTRY)
+        rows = {r["id"]: r for r in df.collect()}
+        assert set(df.columns) == {"id", "kind", "score", "_schema_id"}
+        # v1 rows take the reader default for the new field
+        assert rows[1]["score"] == -1.0 and rows[1]["_schema_id"] == 7
+        assert rows[2]["score"] == 0.5 and rows[2]["_schema_id"] == 9
+        assert rows[3]["kind"] == "c"
+
+    def test_converter_integration(self, spark, tmp_path):
+        from geomesa_spark.sources.convert import Converter, Field
+        d = tmp_path / "reg2"
+        d.mkdir()
+        (d / "a.bin").write_bytes(self._stream())
+        conv = Converter(fields=[Field("fid", "long", "id"),
+                                 Field("label", "string", "kind")])
+        df = conv.from_avro_registry(spark, str(d), self.REGISTRY)
+        assert sorted(r["fid"] for r in df.collect()) == [1, 2, 3]
