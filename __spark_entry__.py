@@ -263,7 +263,7 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         build_lsh_index(emb, p, n_planes=6, n_tables=8)
 
-    return spark.read.parquet(_ensure_table(_idx_path("lsh", sf_dir),
+    return spark.read.parquet(_ensure_table(_idx_path("lsh2", sf_dir),
                                             build))
 
 

@@ -163,25 +163,31 @@ def _rank_topk(scored: DataFrame, k: int, *, id_col: str,
 def build_lsh_index(corpus: DataFrame, path: str, *,
                     n_planes: int = 6, n_tables: int = 8, dim: int = 64,
                     seed: int = 11, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    bucket_partitions: int = 64) -> None:
     """Write-time LSH signature index (the toIndexKey analog for ANN):
-    one stored row per (table-folded bucket, vector id), hive-partitioned
-    by the bucket so a query's probed buckets become PARTITION-PRUNED
-    scans — the signature computation and the corpus x n_tables expansion
-    happen ONCE at ingest, never per query.
+    one stored row per (table-folded bucket, vector id) — the signature
+    computation and the corpus x n_tables expansion happen ONCE at
+    ingest, never per query.
 
-    Partition count = n_tables * 2^n_planes (512 at the defaults). For
-    larger n_planes partition by a bucket prefix (``pmod(bk, P)``) and
-    keep ``bk`` as a stored row-group-pruned column instead."""
+    Layout: hive-partitioned by ``pt = bk % bucket_partitions`` and
+    SORTED by ``bk`` within each partition, so a query prunes partitions
+    on pt and row groups on the stored bk min/max. Partitioning by the
+    raw bucket (n_tables * 2^n_planes directories — 512 at the defaults,
+    millions at the n_planes a 10^12-vector corpus needs) drowns small
+    scans in file-listing + task overhead; the capped pt fan-out keeps
+    directory count fixed while bk ordering preserves the selectivity.
+    Size ``bucket_partitions`` ~ cluster write parallelism."""
     sig = lsh_signatures(corpus, n_planes=n_planes, dim=dim, seed=seed,
                          vec_col=vec_col, n_tables=n_tables, out="bucket")
     if n_tables > 1:
         rows = sig.select(F.col(id_col), F.explode("bucket").alias("bk"))
     else:
         rows = sig.select(F.col(id_col), F.col("bucket").alias("bk"))
-    # one writer task per bucket -> one compact file per partition
-    rows.repartition("bk").write.partitionBy("bk") \
-        .mode("overwrite").parquet(path)
+    rows = rows.withColumn("pt", F.pmod("bk", F.lit(bucket_partitions)))
+    # one writer task per pt directory -> one compact bk-sorted file each
+    rows.repartition("pt").sortWithinPartitions("bk") \
+        .write.partitionBy("pt").mode("overwrite").parquet(path)
 
 
 def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
@@ -190,7 +196,8 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
                      seed: int = 11, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      query_id_col: str = "query_id",
-                     multiprobe: int = 1) -> DataFrame:
+                     multiprobe: int = 1,
+                     bucket_partitions: int = 64) -> DataFrame:
     """Approximate top-k over a STORED bucket-partitioned signature index
     (``build_lsh_index``) — the scale path:
 
@@ -203,7 +210,7 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
     4. exact cosine + window rank.
 
     The index must have been built with the same (n_planes, n_tables,
-    dim, seed)."""
+    dim, seed, bucket_partitions)."""
     spark = index.sparkSession
     # queries are the driver-bounded small side by contract (like a kNN
     # query set): signatures + probe expansion run in local numpy — the
@@ -223,8 +230,15 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
     probe_df = spark.createDataFrame(
         probe_rows, f"{query_id_col} string, bk long").dropDuplicates()
     probe_vals = sorted({bk for _, bk in probe_rows})
-    # literal isin on the partition column -> partition pruning
-    cand_ids = (index.where(F.col("bk").isin(probe_vals))
+    # pt literals prune partitions; bk literals push down to parquet
+    # row-group stats (files are bk-sorted at build). Old-layout indexes
+    # (partitioned by raw bk) prune directly on the bk filter.
+    flt = F.col("bk").isin(probe_vals)
+    if "pt" in index.columns:  # capped layout: must match the build's
+        flt = F.col("pt").isin(                # bucket_partitions
+            sorted({int(bk) % bucket_partitions
+                    for bk in probe_vals})) & flt
+    cand_ids = (index.where(flt)
                 .join(F.broadcast(probe_df), "bk")
                 .select(query_id_col, id_col)
                 .dropDuplicates([query_id_col, id_col]))

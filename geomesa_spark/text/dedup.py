@@ -183,26 +183,30 @@ def _signatures_from_shingles(sh: DataFrame, *, k: int,
     (k x n_shingles matrix min per doc) — no explode, no shuffle: the
     k-permutation min is per-document math, so turning it into k wide
     aggregates over exploded rows (the previous shape) paid an explode +
-    hash-shuffle for work a numpy matmul-style pass does in place. Base
-    hash crc32 == zlib.crc32 (same bytes, same mod), permutations
-    identical, so signatures are bit-equal to the aggregate form."""
+    hash-shuffle for work a numpy matmul-style pass does in place.
+
+    The base shingle hash runs JVM-SIDE (``transform`` + built-in
+    ``crc32`` over the utf-8 bytes, whole-stage codegen — java.util.zip
+    CRC32 == zlib.crc32, same polynomial/init): what crosses Arrow is a
+    compact long array, and the Python kernel is pure numpy (no
+    per-string Python hashing). Signatures are bit-equal to both prior
+    forms."""
     a, b = (x.astype(np.int64) for x in _minhash_coeffs(k, seed))
     from pyspark.sql.types import ArrayType, LongType
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sigs(shingles: pd.Series) -> pd.Series:
-        import zlib
+    def sigs(hashes: pd.Series) -> pd.Series:
         out = []
-        for arr in shingles:
-            hs = np.array([zlib.crc32(s.encode("utf-8")) for s in arr],
-                          dtype=np.int64) % MERSENNE31
+        for arr in hashes:
+            hs = np.asarray(arr, dtype=np.int64) % MERSENNE31
             sig = ((a[:, None] * hs[None, :] + b[:, None])
                    % MERSENNE31).min(axis=1)
             out.append(sig.tolist())
         return pd.Series(out)
 
-    return sh.select(F.col(id_col),
-                     sigs(F.col("shingles")).alias("_sig")) \
+    hashed = F.transform(F.col("shingles"),
+                         lambda s: F.crc32(F.encode(s, "UTF-8")))
+    return sh.select(F.col(id_col), sigs(hashed).alias("_sig")) \
         .select(id_col, *[F.element_at("_sig", i + 1).alias(f"mh{i}")
                           for i in range(k)])
 

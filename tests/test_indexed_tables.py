@@ -109,12 +109,14 @@ class TestStoredLSH:
                                                        entry):
         df = entry.q_lsh_topk(spark, SF)
         plan = _plan(spark, df)
-        # probed buckets prune stored partitions: SOME scan (the index
-        # scan; the embeddings corpus scan is partition-less) must carry
-        # a partition filter on the stored bucket column
+        # the capped layout prunes partitions on pt and pushes the bk
+        # literals to parquet row-group stats (files are bk-sorted)
         pfs = [seg.split("]", 1)[0]
                for seg in plan.split("PartitionFilters: [")[1:]]
-        assert any("bk" in pf for pf in pfs), pfs
+        assert any("pt" in pf for pf in pfs), pfs
+        pushed = [seg.split("]", 1)[0]
+                  for seg in plan.split("PushedFilters: [")[1:]]
+        assert any("bk" in pd for pd in pushed), pushed
         # signature recompute over the corpus would appear as an extra
         # ArrowEvalPython over the embeddings scan feeding the bucket
         # join, and the ad-hoc path's x n_tables corpus explode as a
