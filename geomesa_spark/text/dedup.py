@@ -288,31 +288,40 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
     64 signature bits with live positions) — the same arithmetic runs in
     the DuckDB oracle, making the near-dup pairs value-checked, not
     rows-only."""
+    from pyspark.sql.types import LongType
+
     from geomesa_spark.text.analysis import char_hash_expr
-    # one char-fold per token; h2/h3 derive by affine universal hashes
-    # (a*h+b mod 2^31-1) — same independence class as separate folds at a
-    # third of the cost; the DuckDB oracle replicates the arithmetic
-    ex = (with_tokens(df, text)
-          .select(F.col(id_col), F.explode("tokens").alias("_t"))
-          .withColumn("_h1", char_hash_expr(F.col("_t"), 31))
-          .withColumn("_h2", (F.col("_h1") * SIMHASH_A2 + SIMHASH_B2)
-                      % MERSENNE31)
-          .withColumn("_h3", (F.col("_h1") * SIMHASH_A3 + SIMHASH_B3)
-                      % MERSENNE31))
-    sums = []
-    for b in range(64):
-        idx, pos = _simhash_bit_source(b)
-        sums.append(
-            F.sum(F.when(F.col(f"_h{idx}")
-                         .bitwiseAND(F.lit(1 << pos)) != 0, 1)
-                  .otherwise(-1)).alias(f"s{b}"))
-    agg = ex.groupBy(id_col).agg(*sums)
-    sig = None
-    for b in range(64):
-        bitval = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
-        term = F.when(F.col(f"s{b}") > 0, bitval).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return agg.select(id_col, sig.cast("long").alias(out))
+    # one char-fold per token, computed JVM-side over the token ARRAY —
+    # no explode, no groupBy shuffle: what crosses Arrow is one long
+    # array per doc, and the 64 bit-sums are a per-document numpy kernel.
+    # h2/h3 derive by affine universal hashes (a*h+b mod 2^31-1) — same
+    # independence class as separate folds at a third of the cost; the
+    # DuckDB oracle replicates the identical arithmetic over exploded
+    # tokens (sum per doc == sum per doc, any execution shape).
+    idx_pos = [_simhash_bit_source(b) for b in range(64)]
+    src = np.array([i - 1 for i, _ in idx_pos], dtype=np.int64)
+    pos = np.array([p for _, p in idx_pos], dtype=np.int64)
+    bitvals = np.array([-(1 << 63) if b == 63 else (1 << b)
+                        for b in range(64)], dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def sig_kernel(hashes: pd.Series) -> pd.Series:
+        out_v = np.empty(len(hashes), dtype=np.int64)
+        for r, arr in enumerate(hashes):
+            h1 = np.asarray(arr, dtype=np.int64)
+            h = np.stack([h1,
+                          (h1 * SIMHASH_A2 + SIMHASH_B2) % MERSENNE31,
+                          (h1 * SIMHASH_A3 + SIMHASH_B3) % MERSENNE31])
+            # (64, n_tokens) bit matrix -> per-bit +1/-1 sums
+            bits = (h[src] >> pos[:, None]) & 1
+            counts = (2 * bits - 1).sum(axis=1)
+            out_v[r] = bitvals[counts > 0].sum()
+        return pd.Series(out_v)
+
+    hashed = F.transform("tokens", lambda t: char_hash_expr(t, 31))
+    return (with_tokens(df, text)
+            .where(F.size("tokens") > 0)  # explode-path drop semantics
+            .select(F.col(id_col), sig_kernel(hashed).alias(out)))
 
 
 def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
