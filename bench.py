@@ -85,6 +85,15 @@ def main() -> None:
             samples[name].append(dt)
             print(f"# r{r} {name}: {dt:.3f}s ({cnt} rows)",
                   file=sys.stderr)
+        # between rounds: drop references and force both GCs so the
+        # ContextCleaner reaps dead localCheckpoint blocks + broadcasts —
+        # without this, executor storage from checkpointing queries
+        # accumulates across rounds and later rounds time the GC debt of
+        # earlier ones (observed: lsh_topk 8.3 -> 12.5 -> 17.6s drift)
+        import gc
+        df = None
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings = {n: min(s) for n, s in samples.items()}
     medians = {n: round(sorted(s)[len(s) // 2], 3)

@@ -105,17 +105,18 @@ def lsh_signatures(df: DataFrame, *, n_planes: int = 16, dim: int = 64,
     return d.withColumnRenamed("_bks", out)
 
 
-def _pairwise_cos():
-    @F.pandas_udf("double")
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.array(list(a), dtype=np.float64)
-        mb = np.array(list(b), dtype=np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        d = na * nb
-        d[d == 0] = 1.0
-        return pd.Series((ma * mb).sum(axis=1) / d)
-    return cos
+def cos_expr(a, b):
+    """Pairwise cosine of two array<double> columns in PURE Catalyst
+    (zip_with product + aggregate fold — whole-stage codegen, no Python
+    round-trip). Zero-norm rows score 0."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v)
+    denom = F.sqrt(na) * F.sqrt(nb)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
 
 
 def _probe_masks(n_planes: int, multiprobe: int) -> list[int]:
@@ -242,13 +243,16 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
                 .join(F.broadcast(probe_df), "bk")
                 .select(query_id_col, id_col)
                 .dropDuplicates([query_id_col, id_col]))
+    # no broadcast hint: AQE picks the build side from runtime sizes —
+    # at 10^12 vectors the pruned candidate set is the small side; on a
+    # dense small fixture (probes covering most buckets) the corpus is
     cvecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")) \
-        .join(F.broadcast(cand_ids), id_col)
+        .join(cand_ids, id_col)
     qvec_df = spark.createDataFrame(
         [(str(q), [float(x) for x in v]) for q, v in zip(q_ids, q_mat)],
         f"{query_id_col} string, _qv array<double>")
     scored = cvecs.join(F.broadcast(qvec_df), query_id_col) \
-        .withColumn("cos", _pairwise_cos()("_qv", "_cv"))
+        .withColumn("cos", cos_expr("_qv", "_cv"))
     return _rank_topk(scored, k, id_col=id_col, query_id_col=query_id_col)
 
 
@@ -276,7 +280,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
         vec_col=vec_col, query_id_col=query_id_col, multiprobe=multiprobe)
     cand = q.join(c, "_bk").drop("_bk") \
         .dropDuplicates([query_id_col, id_col])
-    scored = cand.withColumn("cos", _pairwise_cos()("_qv", "_cv"))
+    scored = cand.withColumn("cos", cos_expr("_qv", "_cv"))
     return _rank_topk(scored, k, id_col=id_col, query_id_col=query_id_col)
 
 

@@ -109,6 +109,12 @@ def osm_way_geometries(nodes: DataFrame, ways: DataFrame,
         from geomesa_spark.geo.model import LineString
         out = []
         for arr in pts:
+            # UDFs under when() still run for every row: a way with NO
+            # resolved members arrives as null, a 1-member way can't make
+            # a line — both yield null (when() discards them anyway)
+            if arr is None or len(arr) < 2:
+                out.append(None)
+                continue
             out.append(bytes(to_wkb(LineString(
                 [[p["lon"], p["lat"]] for p in arr]))))
         return pd.Series(out)

@@ -117,13 +117,13 @@ class TestStoredLSH:
         pushed = [seg.split("]", 1)[0]
                   for seg in plan.split("PushedFilters: [")[1:]]
         assert any("bk" in pd for pd in pushed), pushed
-        # signature recompute over the corpus would appear as an extra
+        # signature recompute over the corpus would appear as an
         # ArrowEvalPython over the embeddings scan feeding the bucket
         # join, and the ad-hoc path's x n_tables corpus explode as a
-        # Generate over that scan; the indexed plan has exactly ONE
-        # Python eval — the cosine over pruned candidates — and no
-        # corpus-side explode
-        assert plan.count("ArrowEvalPython") == 1
+        # Generate over that scan; the indexed plan has NO Python eval
+        # at all (probes are driver-side numpy, the cosine is a Catalyst
+        # zip_with/aggregate fold) and no corpus-side explode
+        assert plan.count("ArrowEvalPython") == 0
         assert "Generate explode" not in plan
 
     def test_indexed_matches_adhoc(self, spark, entry):

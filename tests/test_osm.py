@@ -29,6 +29,9 @@ OSM_XML = """<?xml version='1.0' encoding='UTF-8'?>
   <way id="102">
     <nd ref="4"/><nd ref="3"/><nd ref="4"/>
   </way>
+  <way id="103">
+    <nd ref="98"/><nd ref="99"/>
+  </way>
 </osm>
 """
 
@@ -78,8 +81,13 @@ class TestOsmWays:
         nodes = read_osm_nodes(spark, osm_dir)
         ways = read_osm_ways(spark, osm_dir)
         out = osm_way_geometries(nodes, ways, drop_incomplete=False)
-        r101 = out.where(F.col("way_id") == 101).head()
+        rows = {r.way_id: r for r in out.collect()}
+        r101 = rows[101]
         assert r101.geom is None and r101.n_points == 1
+        # a way with NO resolvable members reaches the WKB kernel as a
+        # null point list — must yield null geometry, not crash
+        r103 = rows[103]
+        assert r103.geom is None and r103.n_points == 0
 
 
 class TestParquetConverter:
