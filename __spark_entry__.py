@@ -681,6 +681,16 @@ def q_image_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_counts(images_df(spark, _n_images(sf_dir)))
 
 
+def q_image_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom pyramid over the image fixture: counts per tile per
+    resolution 1..4. One data shuffle at the finest level; coarser levels
+    roll up the (already tiny) aggregate by Morton-prefix truncation."""
+    from geomesa_spark.operators.tiles import tile_pyramid
+    from geomesa_spark.raster.fixtures import images_df
+    return tile_pyramid(images_df(spark, _n_images(sf_dir)),
+                        max_res=4, min_res=1)
+
+
 def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode images (pandas-UDF codec) and aggregate pixel features per
     format (rows-only; decode fidelity is pytest-gated at PSNR>=40dB)."""
@@ -1005,6 +1015,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
+        "image_tile_pyramid": q_image_tile_pyramid,
         "image_brightness": q_image_brightness,
         "training_pipeline": q_training_pipeline,
         "stats_sketches": q_stats_sketches,
@@ -1044,13 +1055,11 @@ def _z2_sql(res: int) -> str:
     return " | ".join(f"({t})" for t in terms)
 
 
-def _image_tiles_sql() -> str:
-    """SQL twin of q_image_tile_counts: regenerates the image fixture's
-    coordinates bit-exactly (raster/fixtures.py:_lonlat / _hot_offsets —
-    every op is IEEE-exact or a single deterministic rounding) and Morton-
-    bins them with the same op order as cells/native.py:_bin_expr. The
-    image count mirrors _n_images: events has 1M*sf rows, images 50k*sf,
-    floor 200."""
+def _image_coords_cte() -> str:
+    """WITH-prefix regenerating the image fixture's coordinates
+    bit-exactly (raster/fixtures.py:_lonlat / _hot_offsets — every op is
+    IEEE-exact or a single deterministic rounding). The image count
+    mirrors _n_images: events has 1M*sf rows, images 50k*sf, floor 200."""
     from geomesa_spark.raster.fixtures import CITIES, _IH_SCALE
     cx = ("CASE (i // 10) % 5 "
           + " ".join(f"WHEN {k} THEN {c[0]!r}" for k, c in enumerate(CITIES))
@@ -1085,9 +1094,29 @@ def _image_tiles_sql() -> str:
               THEN least(greatest(({cy}) + {ih(8)}, -90.0), 90.0)
               ELSE -90.0 + (180.0 * (u & 1048575)) / 1048576.0
             END AS lat
-          FROM base)
+          FROM base)"""
+
+
+def _image_tiles_sql() -> str:
+    """SQL twin of q_image_tile_counts: bit-exact coordinates + the same
+    Morton bin op order as cells/native.py:_bin_expr."""
+    return f"""{_image_coords_cte()}
         SELECT ({_z2_sql(4)}) AS tile, count(*) AS n_images
         FROM coords GROUP BY 1 ORDER BY 1"""
+
+
+def _image_pyramid_sql() -> str:
+    """SQL twin of q_image_tile_pyramid: finest-level Morton counts
+    rolled up by 2-bit prefix truncation per level (identical to
+    re-binning at the coarser resolution for power-of-2 grids)."""
+    return f"""{_image_coords_cte()},
+        finest AS (
+          SELECT ({_z2_sql(4)}) AS tile, count(*) AS n_images
+          FROM coords GROUP BY 1)
+        SELECT lv.res AS res, (tile >> (2 * (4 - lv.res))) AS tile,
+               CAST(sum(n_images) AS BIGINT) AS n_images
+        FROM finest, (SELECT unnest(range(1, 5)) AS res) lv
+        GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def _route_search_sql() -> str:
@@ -1702,6 +1731,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seg WHERE nx IS NOT NULL
             GROUP BY u ORDER BY user_id""",
         "image_tile_counts": _image_tiles_sql(),
+        "image_tile_pyramid": _image_pyramid_sql(),
     }
     # Deliberately rows-only (no oracle entry): image_brightness — the
     # decode step is a pandas-UDF codec with no SQL twin; decode fidelity

@@ -139,6 +139,37 @@ def tile_counts(images: DataFrame, *, res: int = PARTITION_RES) -> DataFrame:
             .groupBy("tile").agg(F.count("*").alias("n_images")))
 
 
+def tile_pyramid(images: DataFrame, *, max_res: int = PARTITION_RES,
+                 min_res: int = 1) -> DataFrame:
+    """Multi-resolution tile counts — the zoom pyramid a tile server
+    renders from (the multi-level form of DensityScan's gridded output,
+    /root/reference/geomesa-utils/src/main/scala/org/locationtech/
+    geomesa/utils/geotools/GridSnap.scala:19-50 applied per level; level
+    semantics = Z2Scheme partition naming at each resolution).
+
+    Scale shape: ONE data shuffle — the groupBy at the finest level
+    (4^max_res cells at most). Coarser levels derive from that already-
+    aggregated frame by truncating the Morton code 2 bits per level
+    (cells/z2.py:cell_prefix semantics) and re-aggregating rows that are
+    at most 4^max_res long — the rollup never touches the image table
+    again. Output: (res, tile, n_images), finest to coarsest."""
+    if not 0 < min_res <= max_res:
+        raise ValueError("need 0 < min_res <= max_res")
+    finest = (assign_tiles(images, res=max_res)
+              .where(F.col("tile") >= 0)  # unmappable rows stay in the
+              .groupBy("tile")            # reserved -1 partition only
+              .agg(F.count("*").alias("n_images")))
+    levels = F.array(*[
+        F.struct(F.lit(r).alias("res"),
+                 F.shiftrightunsigned("tile", 2 * (max_res - r))
+                 .alias("tile"))
+        for r in range(min_res, max_res + 1)])
+    return (finest.select(F.explode(levels).alias("lv"), "n_images")
+            .groupBy(F.col("lv.res").alias("res"),
+                     F.col("lv.tile").alias("tile"))
+            .agg(F.sum("n_images").alias("n_images")))
+
+
 def phash_expr(image_id):
     """The fixture's perceptual-hash contract as a NATIVE expression:
     first 8 bytes of sha256(image_id), big-endian, signed int64

@@ -152,3 +152,25 @@ class TestTiles:
             [("a", bytearray(to_wkb(box)))], "id string, geom binary")
         tiles = [r["tile"] for r in assign_tiles_footprint(df).collect()]
         assert len(tiles) > 1 and len(set(tiles)) == len(tiles)
+
+
+class TestTilePyramid:
+    def test_levels_consistent(self, spark, images):
+        from geomesa_spark.operators.tiles import tile_counts, tile_pyramid
+        pyr = {(r["res"], r["tile"]): r["n_images"]
+               for r in tile_pyramid(images, max_res=4, min_res=1).collect()}
+        finest = {r["tile"]: r["n_images"]
+                  for r in tile_counts(images, res=4).collect()}
+        # finest level == tile_counts
+        assert {t: n for (res, t), n in pyr.items() if res == 4} == finest
+        # each level's total preserves the row count
+        totals = {}
+        for (res, t), n in pyr.items():
+            totals[res] = totals.get(res, 0) + n
+        assert set(totals.values()) == {sum(finest.values())}
+        # parent count = sum of its children
+        for (res, t), n in pyr.items():
+            if res < 4:
+                kids = sum(v for (r2, t2), v in pyr.items()
+                           if r2 == res + 1 and (t2 >> 2) == t)
+                assert kids == n, (res, t)
