@@ -72,6 +72,35 @@ def read_images(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_snapshot(spark: SparkSession, path: str, *,
+                  as_of_chunk: int | None = None) -> DataFrame:
+    """Time-travel read: the table as of commit ``as_of_chunk``
+    (inclusive) — Iceberg's snapshot-id read expressed Spark-native.
+
+    Every ingest commit stamps its rows (and therefore its files — one
+    commit per file) with ``ingest_chunk``, so the snapshot predicate
+    reaches parquet footer min/max stats and SKIPS whole files of later
+    commits: the same file-level pruning an Iceberg manifest provides,
+    without a metadata service. ``as_of_chunk=None`` reads the current
+    snapshot."""
+    df = spark.read.parquet(path)
+    if as_of_chunk is not None:
+        df = df.where(F.col("ingest_chunk") <= as_of_chunk)
+    return df
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Commit history (Iceberg's snapshots metadata view): one row per
+    committed chunk with row/byte/cell totals, from the lineage table —
+    the audit trail a 1000-executor ingest reports progress through."""
+    return (lineage_df(spark, path)
+            .groupBy("chunk_id")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("bytes").alias("bytes"),
+                 F.count("*").alias("n_cells"))
+            .orderBy("chunk_id"))
+
+
 def lineage_df(spark: SparkSession, path: str) -> DataFrame:
     """Per-(chunk, cell) lineage/metrics: the progress + audit table."""
     try:
@@ -111,7 +140,9 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
             2, spark.sparkContext.defaultParallelism)
         chunk = _images_range(spark, lo, hi, parts)
         chunk = chunk.withColumn("cell_prefix",
-                                 cell_expr("lon", "lat", res))
+                                 cell_expr("lon", "lat", res)) \
+                     .withColumn("ingest_chunk",
+                                 F.lit(c).cast("long"))
         # co-locate each cell's rows in one writer task: one file per
         # (chunk, cell) instead of partitions x cells tiny files — the
         # file-compaction discipline an Iceberg writer applies

@@ -168,3 +168,34 @@ class TestSaltedWrite:
         assert a.count() == b.count() == 4000
         assert a.select("cell_prefix").distinct().collect() == \
             b.select("cell_prefix").distinct().collect()
+
+
+class TestSnapshotRead:
+    """Iceberg-style time travel: commit-stamped files + snapshot reads."""
+
+    def test_time_travel_and_history(self, spark, tmp_path):
+        from geomesa_spark.sources.table import (ingest_images,
+                                                 read_snapshot,
+                                                 table_history)
+        p = str(tmp_path / "tt")
+        ingest_images(spark, p, n=300, chunk_rows=100)
+        # full read = all three commits
+        assert read_snapshot(spark, p).count() == 300
+        # as of commit 1 = first two chunks only, and the exact rows
+        snap = read_snapshot(spark, p, as_of_chunk=1)
+        assert snap.count() == 200
+        ids = {r["image_id"] for r in snap.select("image_id").collect()}
+        assert ids == {f"img-{i:012d}" for i in range(200)}
+        hist = table_history(spark, p).collect()
+        assert [r["chunk_id"] for r in hist] == [0, 1, 2]
+        assert sum(r["n_rows"] for r in hist) == 300
+
+    def test_snapshot_predicate_reaches_scan(self, spark, tmp_path):
+        from geomesa_spark.sources.table import (ingest_images,
+                                                 read_snapshot)
+        p = str(tmp_path / "tt2")
+        ingest_images(spark, p, n=200, chunk_rows=100)
+        plan = read_snapshot(spark, p, as_of_chunk=0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ingest_chunk" in plan.split("PushedFilters: [", 1)[1] \
+            .split("]", 1)[0]
