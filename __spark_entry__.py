@@ -939,6 +939,48 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _phash_cluster_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus of (image_id, phash) triples per event id < 1500: the base
+    image plus TWO planted near-dups (distinct <=3-bit masks). dup and
+    dup2 are usually 6 bits apart — NOT a pair at max_hamming=3 — so the
+    3-member cluster only falls out through transitive closure."""
+    from geomesa_spark.operators.tiles import phash_expr
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.col("event_id") < 1500).select("event_id")
+    base = ev.select(
+        F.format_string("img-%012d", "event_id").alias("image_id"),
+        phash_expr(F.format_string("img-%012d", "event_id")).alias("phash"),
+        F.col("event_id"))
+    m1 = F.expr(
+        "shiftleft(1L, cast(event_id*7%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*13%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*29%63 as int))")
+    m2 = F.expr(
+        "shiftleft(1L, cast(event_id*11%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*17%63 as int)) ^ "
+        "shiftleft(1L, cast(event_id*23%63 as int))")
+    dup1 = base.select(
+        F.format_string("dup-%012d", "event_id").alias("image_id"),
+        F.col("phash").bitwiseXOR(m1).alias("phash"), "event_id")
+    dup2 = base.select(
+        F.format_string("dup2-%012d", "event_id").alias("image_id"),
+        F.col("phash").bitwiseXOR(m2).alias("phash"), "event_id")
+    return base.unionByName(dup1).unionByName(dup2) \
+        .select("image_id", "phash")
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup last mile: phash near-dup PAIRS -> connected components ->
+    one row per cluster with its canonical keeper (min member id) and
+    member count. Clusters need transitive closure (dup <-> dup2 is not
+    itself a pair) — value-checked against a DuckDB recursive-CTE CC."""
+    from geomesa_spark.operators.graph import dedup_clusters
+    from geomesa_spark.operators.tiles import phash_pairs
+    pairs = phash_pairs(_phash_cluster_corpus(spark, sf_dir),
+                        max_hamming=3)
+    return dedup_clusters(pairs).select("keeper", "n_members")
+
+
 # RouteSearch fixtures: two long polylines over the global event grid;
 # every coordinate is an exact binary double so the Spark literals and
 # the SQL VALUES are bit-identical.
@@ -1031,6 +1073,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_attribute": q_hash_attribute,
         "route_search": q_route_search,
         "phash_near_dup": q_phash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1732,6 +1775,48 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY u ORDER BY user_id""",
         "image_tile_counts": _image_tiles_sql(),
         "image_tile_pyramid": _image_pyramid_sql(),
+        "near_dup_clusters": """
+            WITH RECURSIVE ids AS (
+              SELECT event_id,
+                     printf('img-%012d', event_id) AS iid
+              FROM events WHERE event_id < 1500),
+            ph AS (
+              SELECT event_id, iid,
+                     (CASE WHEN u >= 9223372036854775808::HUGEINT
+                           THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                           ELSE u::HUGEINT END)::BIGINT AS phash
+              FROM (SELECT *,
+                      ('0x' || substr(sha256(iid), 1, 16))::UBIGINT AS u
+                    FROM ids)),
+            corpus AS (
+              SELECT iid AS image_id, phash FROM ph
+              UNION ALL
+              SELECT printf('dup-%012d', event_id),
+                     xor(phash,
+                         xor(xor(1::BIGINT << CAST(event_id*7%63 AS INT),
+                                 1::BIGINT << CAST(event_id*13%63 AS INT)),
+                             1::BIGINT << CAST(event_id*29%63 AS INT)))
+              FROM ph
+              UNION ALL
+              SELECT printf('dup2-%012d', event_id),
+                     xor(phash,
+                         xor(xor(1::BIGINT << CAST(event_id*11%63 AS INT),
+                                 1::BIGINT << CAST(event_id*17%63 AS INT)),
+                             1::BIGINT << CAST(event_id*23%63 AS INT)))
+              FROM ph),
+            ed AS (
+              SELECT x.image_id AS s, y.image_id AS t
+              FROM corpus x JOIN corpus y ON x.image_id <> y.image_id
+              WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+            cc(node, comp) AS (
+              SELECT image_id, image_id FROM corpus
+              WHERE image_id IN (SELECT s FROM ed)
+              UNION
+              SELECT e.t, c.comp FROM cc c JOIN ed e ON e.s = c.node),
+            final AS (
+              SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+            SELECT comp AS keeper, count(*) AS n_members
+            FROM final GROUP BY comp ORDER BY keeper""",
     }
     # Deliberately rows-only (no oracle entry): image_brightness — the
     # decode step is a pandas-UDF codec with no SQL twin; decode fidelity
