@@ -33,11 +33,17 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
     """(node, comp) for every node appearing in ``edges`` — ``comp`` is
     the component's minimum node id (by the column's natural ordering),
     i.e. the canonical keeper of a dedup cluster."""
+    # LAZY checkpoints throughout: each round's convergence count() is
+    # then the round's ONLY job (it materializes that round's checkpoint
+    # as a side effect) — eager checkpoints would triple the action count
+    # and the wall is action-scheduling-bound, not data-bound
     und = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
     und = und.union(und.select(F.col("y").alias("x"),
-                               F.col("x").alias("y"))).localCheckpoint()
+                               F.col("x").alias("y"))) \
+        .localCheckpoint(eager=False)
     labels = (und.select(F.col("x").alias("node")).distinct()
-              .withColumn("comp", F.col("node")).localCheckpoint())
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         nb = (und.join(labels.withColumnRenamed("node", "y"), "y")
               .groupBy(F.col("x").alias("node"))
@@ -54,7 +60,7 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
         jumped = (stepped.join(parent, "comp", "left")
                   .select("node",
                           F.coalesce("pcomp", F.col("comp")).alias("comp"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         changed = (labels.withColumnRenamed("comp", "old")
                    .join(jumped, "node")
                    .where(F.col("old") != F.col("comp")).count())
