@@ -99,10 +99,11 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
     Execution: each round scans ONLY the ring of cover cells not yet
     scanned for that query (the reference's "hole" exclusion on window
     expansion, KNearestNeighborSearchProcess.scala:222-301) and appends
-    them to a localCheckpoint'ed candidate frame — one eager distributed
-    job per round; the per-round counts, the finished rows, and the final
-    union all read the checkpoint instead of re-executing earlier rounds'
-    joins. Driver-side state stays O(|queries| * cover cells).
+    them to a lazily localCheckpoint'ed candidate frame; the round's
+    single collect materializes it, so the per-round counts, the finished
+    rows, and the next round's union all read the checkpoint instead of
+    re-executing earlier rounds' joins — ONE distributed job per round.
+    Driver-side state stays O(|queries| * cover cells).
     """
     spark = points.sparkSession
     if initial_radius_m is None:
@@ -148,10 +149,11 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
                 else cand_acc.unionByName(new_cand)
         if cand_acc is None:
             break
-        # job 1 of the round: materialize the ring scan; every later read
-        # (ranking, next round's union) hits the cache, never the join
+        # lazy checkpoint: the round's single collect below materializes
+        # it, so ranking and the next round's union hit the cache, never
+        # the join — one distributed job per round instead of two
         cand_acc = cand_acc.where(
-            F.col("query_id").isin(list(live))).localCheckpoint()
+            F.col("query_id").isin(list(live))).localCheckpoint(eager=False)
         wdf = spark.createDataFrame(list(live.items()),
                                     "query_id string, w double")
         ranked = (cand_acc.join(F.broadcast(wdf), "query_id")
