@@ -692,8 +692,14 @@ def q_image_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode images (pandas-UDF codec) and aggregate pixel features per
-    format (rows-only; decode fidelity is pytest-gated at PSNR>=40dB)."""
+    """Decode images (pandas-UDF codec) and aggregate decoded-pixel
+    brightness per format. Value-checked end-to-end: the fixture noise is
+    counter-mode sha256 (``raster/fixtures.py:_pixel_noise``) so the
+    DuckDB oracle regenerates every decoded pixel — gradient, noise,
+    clip, and the q5 quantize/reconstruct — bit-exactly in SQL, and the
+    aggregate is an exact integer pixel-sum divided once (IEEE-identical
+    on both engines; decode fidelity separately pytest-gated at
+    PSNR>=40dB)."""
     from geomesa_spark.operators.tiles import image_features
     from geomesa_spark.raster.fixtures import images_df
     imgs = images_df(spark, _n_images(sf_dir))
@@ -701,7 +707,8 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(imgs.select("image_id", "fmt"), "image_id")
             .groupBy("fmt")
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("brightness"), 3).alias("avg_brightness")))
+                 (F.sum("px_sum").cast("double") /
+                  F.sum("n_px").cast("double")).alias("avg_brightness")))
 
 
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,6 +1167,52 @@ def _image_pyramid_sql() -> str:
                CAST(sum(n_images) AS BIGINT) AS n_images
         FROM finest, (SELECT unnest(range(1, 5)) AS res) lv
         GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def _image_brightness_sql() -> str:
+    """SQL twin of q_image_brightness: regenerates every decoded pixel of
+    every fixture image in SQL — gradient (integer ops), counter-mode
+    sha256 noise (fixtures.py:_pixel_noise), clip, and the q5
+    quantize/mid-rise-reconstruct (codec.py:decode_image) — then divides
+    exact integer sums once (bit-identical IEEE division on both
+    engines). ~2.4M pixel values at sf0.01; runs in <1s in DuckDB."""
+    return """
+        WITH imgs AS (
+          SELECT i,
+                 16 + (i % 4) * 16 AS w,
+                 16 + ((i // 4) % 4) * 16 AS h,
+                 CASE WHEN i % 2 = 0 THEN 'rawz' ELSE 'q5' END AS fmt
+          FROM range(0, 1000000) t(i)
+          WHERE i < greatest(200, (SELECT count(*) FROM events) // 20)),
+        blocks AS (
+          SELECT i, w, h, fmt, b,
+                 sha256('px-' || i || '-' || b) AS hx
+          FROM imgs CROSS JOIN generate_series(0, 767) AS g(b)
+          WHERE b < (w*h*3 + 15) // 16),
+        vals AS (
+          SELECT i, w, h, fmt, b*16 + j AS k,
+                 ('0x' || substr(hx, j*4 + 1, 4))::INT % 33 - 16 AS noise
+          FROM blocks CROSS JOIN generate_series(0, 15) AS gj(j)
+          WHERE b*16 + j < w*h*3),
+        px AS (
+          SELECT i, fmt, noise,
+            CASE k % 3
+              WHEN 0 THEN (((k//3) % w) * 255) // greatest(w-1, 1)
+              WHEN 1 THEN ((k // (3*w)) * 255) // greatest(h-1, 1)
+              ELSE ((((k//3) % w) + (k // (3*w))) * 255)
+                   // greatest(w+h-2, 1) END AS grad
+          FROM vals),
+        dec AS (
+          SELECT i, fmt,
+            CASE WHEN fmt = 'q5'
+                 THEN least((least(greatest(grad+noise, 0), 255) // 8) * 8
+                            + 4, 255)
+                 ELSE least(greatest(grad+noise, 0), 255) END AS v
+          FROM px)
+        SELECT fmt, count(DISTINCT i)::BIGINT AS n,
+               CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS avg_brightness
+        FROM dec GROUP BY fmt ORDER BY fmt"""
 
 
 def _route_search_sql() -> str:
@@ -1817,11 +1870,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT node, min(comp) AS comp FROM cc GROUP BY node)
             SELECT comp AS keeper, count(*) AS n_members
             FROM final GROUP BY comp ORDER BY keeper""",
+        "image_brightness": _image_brightness_sql(),
     }
-    # Deliberately rows-only (no oracle entry): image_brightness — the
-    # decode step is a pandas-UDF codec with no SQL twin; decode fidelity
-    # (PSNR>=40dB) and the per-format means are pytest-gated in
-    # tests/test_raster_tiles.py + tests/test_codec.py.
 
 
 def entry(spark: SparkSession) -> DataFrame:

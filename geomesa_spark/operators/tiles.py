@@ -64,7 +64,7 @@ def image_features(images: DataFrame) -> DataFrame:
     batches; numpy per image; the relational layer never sees pixels)."""
     out_schema = ("image_id string, lon double, lat double, "
                   "mean_r double, mean_g double, mean_b double, "
-                  "brightness double")
+                  "brightness double, px_sum long, n_px long")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,13 +72,19 @@ def image_features(images: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 px = decode_image(r.bytes, r.w, r.h, r.fmt)
                 means = px.reshape(-1, 3).mean(axis=0)
+                # exact integer pixel sum/count alongside the float means:
+                # downstream aggregates that must match a SQL oracle
+                # bit-for-bit sum the longs and divide once (IEEE-exact on
+                # both engines), instead of averaging per-image doubles
+                # whose summation order differs between engines
                 rows.append((r.image_id, r.lon, r.lat,
                              float(means[0]), float(means[1]), float(means[2]),
-                             float(means.mean())))
+                             float(means.mean()),
+                             int(px.astype(np.int64).sum()), int(px.size)))
             if rows:
                 yield pd.DataFrame(rows, columns=[
                     "image_id", "lon", "lat", "mean_r", "mean_g", "mean_b",
-                    "brightness"])
+                    "brightness", "px_sum", "n_px"])
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "lon", "lat"]
     return images.select(*cols).mapInPandas(extract, schema=out_schema)

@@ -69,8 +69,23 @@ def _lonlat(i: int, phash: int) -> tuple[float, float]:
     return lon, lat
 
 
+def _pixel_noise(i: int, n: int) -> np.ndarray:
+    """Deterministic pixel noise for image i: value k reads 16-bit
+    big-endian word k%16 of sha256(f"px-{i}-{k//16}"), mapped to
+    [-16, 16] via ``% 33 - 16``. Pure counter-mode hashing — integer ops
+    only — so a SQL engine regenerates every noise value exactly (the
+    image_brightness oracle re-derives these with DuckDB's sha256 +
+    substr; same construction as the Irwin–Hall city offsets above)."""
+    nblocks = (n + 15) // 16
+    buf = b"".join(hashlib.sha256(b"px-%d-%d" % (i, b)).digest()
+                   for b in range(nblocks))
+    words = np.frombuffer(buf, dtype=">u2")[:n]
+    return (words % 33).astype(np.int16) - 16
+
+
 def reference_pixels(i: int) -> np.ndarray:
-    """Ground-truth pixels for row i: RGB gradient + per-image PRNG noise."""
+    """Ground-truth pixels for row i: RGB gradient + per-image hash noise
+    (row-major (y, x, channel) value order)."""
     w = 16 + (i % 4) * 16
     h = 16 + ((i // 4) % 4) * 16
     yy, xx = np.mgrid[0:h, 0:w]
@@ -79,8 +94,7 @@ def reference_pixels(i: int) -> np.ndarray:
         (yy * 255) // max(h - 1, 1),
         ((xx + yy) * 255) // max(w + h - 2, 1),
     ], axis=-1).astype(np.int16)
-    noise = np.random.default_rng(SEED + i).integers(-16, 17, size=(h, w, 3),
-                                                     dtype=np.int16)
+    noise = _pixel_noise(i, h * w * 3).reshape(h, w, 3)
     return np.clip(grad + noise, 0, 255).astype(np.uint8)
 
 
