@@ -194,8 +194,62 @@ def udf_refine_point(predicate: str):
     return refine
 
 
+_PAIR_PREDICATES = ("st_contains", "st_within", "st_covers", "st_coveredBy",
+                    "st_intersects", "st_overlaps", "st_touches",
+                    "st_crosses", "st_equals")
+
+
+def udf_cover_cells_bbox(res: int):
+    """Cover cells plus the geometry envelope in one parse (memoized per
+    distinct WKB). The envelope columns let the pair join push a bbox
+    pre-reject into the JVM join condition — candidate pairs that can't
+    satisfy the predicate are dropped inside whole-stage codegen and
+    never cross the Arrow boundary (the in-cell candidate pruning the
+    reference's sweepline gets from its per-cell x-interval index,
+    GeoMesaJoinRelation.sweeplineJoin:41-55)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType([
+        StructField("cells", ArrayType(LongType())),
+        StructField("xmin", DoubleType()), StructField("ymin", DoubleType()),
+        StructField("xmax", DoubleType()), StructField("ymax", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def cover(wkb: pd.Series) -> pd.DataFrame:
+        memo: dict[bytes, tuple] = {}
+        rows = []
+        for v in wkb:
+            if v is None:
+                rows.append(([-1], None, None, None, None))
+                continue
+            key = bytes(v)
+            c = memo.get(key)
+            if c is None:
+                g = gio.from_wkb(key)
+                cov = cell_cover_of_geometry(g, res=res)
+                cells = [-1] if cov is None or len(cov) == 0 \
+                    else [int(i) for i in cov]
+                x0, y0, x1, y1 = g.bounds()
+                c = (cells, float(x0), float(y0), float(x1), float(y1))
+                memo[key] = c
+            rows.append(c)
+        return pd.DataFrame(rows, columns=["cells", "xmin", "ymin",
+                                           "xmax", "ymax"])
+    return cover
+
+
 def udf_refine_pairs(predicate: str):
-    """General geometry-pair refinement (polygon-polygon etc.)."""
+    """General geometry-pair refinement (polygon-polygon etc.).
+
+    Vectorized over the Arrow batch: pairs are deduplicated with
+    ``pd.factorize`` on the concatenated WKB key, so the exact DE-9IM
+    predicate runs ONCE per distinct geometry pair (the cell equi-join
+    duplicates a pair once per shared cover cell) with memoized geometry
+    parses. A numpy envelope pre-reject drops the cheap cases before any
+    exact call — sweepline-refine parity with the reference's per-pair
+    OverlapAction (GeoMesaJoinRelation.scala:41-55, OverlapAction:25-41),
+    which also runs one exact predicate per envelope-overlapping pair.
+    """
     fn = {
         "st_contains": gp.contains, "st_within": gp.within,
         "st_covers": gp.covers, "st_coveredBy": gp.covered_by,
@@ -206,19 +260,47 @@ def udf_refine_pairs(predicate: str):
 
     @F.pandas_udf(BooleanType())
     def refine(a: pd.Series, b: pd.Series) -> pd.Series:
-        memo: dict[bytes, object] = {}
+        n = len(a)
+        # pair key = 4-byte length prefix + left WKB + right WKB (WKB is
+        # binary — a separator byte would collide)
+        ab = pd.Series(
+            [len(x).to_bytes(4, "big") + bytes(x) + bytes(y)
+             if x is not None and y is not None else None
+             for x, y in zip(a, b)], dtype=object)
+        codes, uniques = pd.factorize(ab, use_na_sentinel=True)
+        gmemo: dict[bytes, object] = {}
 
-        def parse(v):
-            if v is None:
-                return None
-            k = bytes(v)
-            if k not in memo:
-                memo[k] = gio.from_wkb(k)
-            return memo[k]
+        def parse(k: bytes):
+            g = gmemo.get(k)
+            if g is None:
+                g = gmemo[k] = gio.from_wkb(k)
+            return g
 
-        return pd.Series([bool(fn(parse(x), parse(y)))
-                          if x is not None and y is not None else False
-                          for x, y in zip(a, b)])
+        verdicts = np.zeros(len(uniques), dtype=bool)
+        for ui, key in enumerate(uniques):
+            la = int.from_bytes(key[:4], "big")
+            ga_raw, gb_raw = key[4:4 + la], key[4 + la:]
+            ga, gb = parse(ga_raw), parse(gb_raw)
+            ax0, ay0, ax1, ay1 = ga.bounds()
+            bx0, by0, bx1, by1 = gb.bounds()
+            if predicate in ("st_contains", "st_covers"):
+                if not (ax0 <= bx0 and ay0 <= by0 and ax1 >= bx1
+                        and ay1 >= by1):
+                    continue
+            elif predicate in ("st_within", "st_coveredBy"):
+                if not (bx0 <= ax0 and by0 <= ay0 and bx1 >= ax1
+                        and by1 >= ay1):
+                    continue
+            elif predicate == "st_equals":
+                if (ax0, ay0, ax1, ay1) != (bx0, by0, bx1, by1):
+                    continue
+            elif ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
+                continue
+            verdicts[ui] = bool(fn(ga, gb))
+        out = np.zeros(n, dtype=bool)
+        ok = codes >= 0
+        out[ok] = verdicts[codes[ok]]
+        return pd.Series(out)
     return refine
 
 
@@ -265,16 +347,74 @@ def spatial_join(points: DataFrame, regions: DataFrame, *,
         reg = F.broadcast(reg)
     refine = udf_refine_point(predicate)
     joined = pts.join(reg, on=join_keys, how="inner")
-    # interior-cell rows are provably 'I' for every supported predicate:
-    # accept without the exact refine, and null the WKB argument so those
-    # rows cross the Arrow boundary payload-free and skip the ray casting
-    out = joined.where(F.when(F.col("__int__"), F.lit(True)).otherwise(
-        refine(F.col(point_lon), F.col(point_lat),
-               F.when(F.col("__int__"), F.lit(None))
-               .otherwise(F.col(region_geom)))))
+    # a point joined through an INTERIOR cover cell is provably at
+    # location 'I', so the shortcut is valid only for predicates that
+    # accept interior points (all current ones do — the guard keeps a
+    # future boundary-only predicate, e.g. st_touches, correct): accept
+    # without the exact refine, and null the WKB argument so those rows
+    # cross the Arrow boundary payload-free and skip the ray casting
+    if "I" in _POINT_PREDICATES[predicate]:
+        out = joined.where(F.when(F.col("__int__"), F.lit(True)).otherwise(
+            refine(F.col(point_lon), F.col(point_lat),
+                   F.when(F.col("__int__"), F.lit(None))
+                   .otherwise(F.col(region_geom)))))
+    else:
+        out = joined.where(refine(F.col(point_lon), F.col(point_lat),
+                                  F.col(region_geom)))
     drop = ["__cell__", "__int__"] \
         + (["__salt__"] if salt and salt > 1 else [])
     return out.drop(*drop)
+
+
+def _pair_bbox_condition(predicate: str):
+    """JVM-side envelope necessary-condition for a geometry-pair
+    predicate, over the stored cover-UDF bbox columns."""
+    lx0, ly0 = F.col("__lx0__"), F.col("__ly0__")
+    lx1, ly1 = F.col("__lx1__"), F.col("__ly1__")
+    rx0, ry0 = F.col("__rx0__"), F.col("__ry0__")
+    rx1, ry1 = F.col("__rx1__"), F.col("__ry1__")
+    if predicate in ("st_contains", "st_covers"):
+        return (lx0 <= rx0) & (ly0 <= ry0) & (lx1 >= rx1) & (ly1 >= ry1)
+    if predicate in ("st_within", "st_coveredBy"):
+        return (rx0 <= lx0) & (ry0 <= ly0) & (rx1 >= lx1) & (ry1 >= ly1)
+    if predicate == "st_equals":
+        return (lx0 == rx0) & (ly0 == ry0) & (lx1 == rx1) & (ly1 == ry1)
+    # intersects-family (touches included: <=/>= admits shared boundaries)
+    return (lx0 <= rx1) & (rx0 <= lx1) & (ly0 <= ry1) & (ry0 <= ly1)
+
+
+def _pair_candidates(left: DataFrame, right: DataFrame, *,
+                     predicate: str, left_geom: str, right_geom: str,
+                     res: int,
+                     broadcast_right: bool | None = None) -> DataFrame:
+    """Candidate pairs of the cell equi-join AFTER the JVM envelope
+    pre-reject but BEFORE the exact Python refine — exposed so tests can
+    assert the exact-predicate workload is ≪ n² on dense cells."""
+    cover = udf_cover_cells_bbox(res)
+    lf = (left.withColumn("__cb__", cover(F.col(left_geom)))
+              .withColumn("__lcell__", F.explode("__cb__.cells"))
+              .withColumn("__lx0__", F.col("__cb__.xmin"))
+              .withColumn("__ly0__", F.col("__cb__.ymin"))
+              .withColumn("__lx1__", F.col("__cb__.xmax"))
+              .withColumn("__ly1__", F.col("__cb__.ymax"))
+              .drop("__cb__"))
+    rf = (right.withColumn("__cb__", cover(F.col(right_geom)))
+               .withColumn("__rcell__", F.explode("__cb__.cells"))
+               .withColumn("__rx0__", F.col("__cb__.xmin"))
+               .withColumn("__ry0__", F.col("__cb__.ymin"))
+               .withColumn("__rx1__", F.col("__cb__.xmax"))
+               .withColumn("__ry1__", F.col("__cb__.ymax"))
+               .drop("__cb__"))
+    if broadcast_right:
+        rf = F.broadcast(rf)
+    cond = (F.col("__lcell__") == F.col("__rcell__")) \
+        & _pair_bbox_condition(predicate)
+    return lf.join(rf, on=cond, how="inner")
+
+
+_PAIR_AUX_COLS = ["__lcell__", "__rcell__",
+                  "__lx0__", "__ly0__", "__lx1__", "__ly1__",
+                  "__rx0__", "__ry0__", "__rx1__", "__ry1__"]
 
 
 def spatial_join_pairs(left: DataFrame, right: DataFrame, *,
@@ -284,18 +424,20 @@ def spatial_join_pairs(left: DataFrame, right: DataFrame, *,
                        res: int = PARTITION_RES,
                        broadcast_right: bool | None = None) -> DataFrame:
     """General geometry-geometry join: both sides explode to cover cells,
-    equi-join on cell, exact refine, dedupe by (left_id, right_id) —
-    duplicates arise exactly when both geometries span multiple shared cells
-    (gridIdMapper duplication semantics, RelationUtils.scala:35-53)."""
-    lf = left.withColumn("__cells__", udf_cover_cells(res)(F.col(left_geom))) \
-             .withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
-    rf = right.withColumn("__cells__", udf_cover_cells(res)(F.col(right_geom))) \
-              .withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
-    if broadcast_right:
-        rf = F.broadcast(rf)
+    equi-join on cell WITH an envelope pre-reject folded into the JVM
+    join condition (whole-stage codegen — rejected pairs never reach
+    Python), exact refine once per distinct surviving pair, dedupe by
+    (left_id, right_id) — duplicates arise exactly when both geometries
+    span multiple shared cells (gridIdMapper duplication semantics,
+    RelationUtils.scala:35-53). On a dense cell with n geometries the
+    exact-predicate workload is O(envelope-overlapping pairs), the same
+    bound the reference's in-cell sweepline achieves
+    (GeoMesaJoinRelation.sweeplineJoin:41-55, OverlapAction:25-41)."""
+    joined = _pair_candidates(left, right, predicate=predicate,
+                              left_geom=left_geom, right_geom=right_geom,
+                              res=res, broadcast_right=broadcast_right)
     refine = udf_refine_pairs(predicate)
-    joined = lf.join(rf, on="__cell__", how="inner")
     out = joined.where(refine(F.col(left_geom), F.col(right_geom))) \
-                .drop("__cell__") \
+                .drop(*_PAIR_AUX_COLS) \
                 .dropDuplicates([left_id, right_id])
     return out

@@ -108,6 +108,72 @@ def test_join_pairs_boxes_vs_boxes(spark):
     assert got == expected
 
 
+def test_join_pairs_non_intersects_predicates(spark):
+    rng = np.random.default_rng(11)
+    left = make_boxes(30, rng)
+    right = make_boxes(30, rng) + left[:5]  # guarantee some equal pairs
+    lf = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(*b)))) for (bid, *b) in left],
+        "left_id string, geom binary")
+    rf = spark.createDataFrame(
+        [(f"r{k}", bytearray(to_wkb(box_poly(*b))))
+         for k, (bid, *b) in enumerate(right)],
+        "right_id string, geom_r binary")
+    for pred, check in [
+        # DE-9IM contains for non-degenerate boxes: B ⊆ A (boundary
+        # contact allowed; contains(A, A) is true)
+        ("st_contains", lambda l, r: l[0] <= r[0] and l[1] <= r[1]
+         and l[2] >= r[2] and l[3] >= r[3]),
+        ("st_equals", lambda l, r: l == r),
+    ]:
+        got = {(a.left_id, a.right_id)
+               for a in spatial_join_pairs(lf, rf, predicate=pred)
+               .select("left_id", "right_id").collect()}
+        expected = {(lid, f"r{k}")
+                    for (lid, *lb) in left
+                    for k, (_, *rb) in enumerate(right)
+                    if check(tuple(lb), tuple(rb))}
+        assert got == expected, pred
+
+
+def test_dense_cell_candidates_pruned(spark):
+    """10k tiny boxes inside ONE partition cell: the JVM envelope
+    pre-reject must cut the exact-refine workload to ~matches, not n²/2
+    (sweepline-parity bound, GeoMesaJoinRelation.sweeplineJoin:41-55)."""
+    from geomesa_spark.operators.join import _pair_candidates
+
+    rng = np.random.default_rng(99)
+    n = 10_000
+    # all inside one res-4 cell (cell spans 22.5 x 11.25 deg at res 4)
+    cx = rng.uniform(1.0, 9.0, n)
+    cy = rng.uniform(1.0, 9.0, n)
+    hw = rng.uniform(0.001, 0.01, n)
+    boxes = [(f"b{i}", float(cx[i] - hw[i]), float(cy[i] - hw[i]),
+              float(cx[i] + hw[i]), float(cy[i] + hw[i])) for i in range(n)]
+    lf = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(*b)))) for (bid, *b) in boxes],
+        "left_id string, geom binary")
+    rf = spark.createDataFrame(
+        [(bid, bytearray(to_wkb(box_poly(*b)))) for (bid, *b) in boxes],
+        "right_id string, geom_r binary")
+    cand = _pair_candidates(lf, rf, predicate="st_intersects",
+                            left_geom="geom", right_geom="geom_r",
+                            res=4).count()
+    # brute-force expected matches (numpy, vectorized)
+    x0, y0 = cx - hw, cy - hw
+    x1, y1 = cx + hw, cy + hw
+    matches = 0
+    for i in range(n):
+        hit = (x0 <= x1[i]) & (x0[i] <= x1) & (y0 <= y1[i]) & (y0[i] <= y1)
+        matches += int(hit.sum())
+    # every candidate is a true envelope overlap: count equals matches,
+    # and both are ≪ n² (the un-pruned equi-join would emit n² pairs)
+    assert cand == matches
+    assert cand < n * n // 50
+    got = spatial_join_pairs(lf, rf, predicate="st_intersects", res=4).count()
+    assert got == matches  # boxes: envelope overlap == exact intersects
+
+
 def test_locate_vectorized_matches_scalar():
     from geomesa_spark.geo import predicates as gp
     poly = Polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
