@@ -254,17 +254,23 @@ def _events_s2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             build))
 
 
-def _lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_index_table(spark: SparkSession, sf_dir: str):
     """Stored LSH signature index over the embeddings fixture
-    (bucket-partitioned; built once, pruned per query)."""
-    from geomesa_spark.ml.similarity import build_lsh_index
+    (bucket-partitioned; built once, pruned per query). Returns
+    (DataFrame, build-meta sidecar). 16 pt directories at fixture scale —
+    enough write parallelism here while keeping the probe scan from
+    drowning in file listing; a real 10^12-vector build sizes
+    bucket_partitions to cluster write parallelism and the sidecar keeps
+    queries honest either way."""
+    from geomesa_spark.ml.similarity import build_lsh_index, load_lsh_index
 
     def build(p: str) -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_lsh_index(emb, p, n_planes=6, n_tables=8)
+        build_lsh_index(emb, p, n_planes=6, n_tables=8,
+                        bucket_partitions=16)
 
-    return spark.read.parquet(_ensure_table(_idx_path("lsh2", sf_dir),
-                                            build))
+    return load_lsh_index(spark, _ensure_table(_idx_path("lsh3", sf_dir),
+                                               build))
 
 
 def warm_index_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -660,9 +666,12 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
-    index = _lsh_index_table(spark, sf_dir)  # stored, bucket-partitioned
+    index, meta = _lsh_index_table(spark, sf_dir)  # stored + sidecar
     out = lsh_topk_indexed(index, emb, queries_df, 10, n_planes=6,
-                           n_tables=8, multiprobe=2)
+                           n_tables=8, multiprobe=2,
+                           bucket_partitions=(meta or {}).get(
+                               "bucket_partitions", 64),
+                           meta=meta)
     return out.select("query_id", "rank", "vec_id")
 
 

@@ -161,6 +161,35 @@ def _rank_topk(scored: DataFrame, k: int, *, id_col: str,
                     F.round(F.col("cos"), 6).alias("cos")))
 
 
+_LSH_META_FILE = "_lsh_meta.json"
+_LSH_META_KEYS = ("n_planes", "n_tables", "dim", "seed",
+                  "bucket_partitions")
+
+
+def _write_lsh_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+    with open(os.path.join(path, _LSH_META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def read_lsh_meta(path: str) -> dict | None:
+    """Build parameters persisted next to the index parquet (None for a
+    pre-sidecar index)."""
+    import json
+    import os
+    p = os.path.join(path, _LSH_META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict | None]:
+    """Open a stored LSH index with its build-parameter sidecar."""
+    return spark.read.parquet(path), read_lsh_meta(path)
+
+
 def build_lsh_index(corpus: DataFrame, path: str, *,
                     n_planes: int = 6, n_tables: int = 8, dim: int = 64,
                     seed: int = 11, id_col: str = "vec_id",
@@ -189,6 +218,12 @@ def build_lsh_index(corpus: DataFrame, path: str, *,
     # one writer task per pt directory -> one compact bk-sorted file each
     rows.repartition("pt").sortWithinPartitions("bk") \
         .write.partitionBy("pt").mode("overwrite").parquet(path)
+    # persist the build parameters so a query can't silently probe with a
+    # mismatched modulus/plane set (the pt filter would drop real
+    # candidate buckets); lsh_topk_indexed validates against this
+    _write_lsh_meta(path, {"n_planes": n_planes, "n_tables": n_tables,
+                           "dim": dim, "seed": seed,
+                           "bucket_partitions": bucket_partitions})
 
 
 def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
@@ -198,38 +233,58 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
                      vec_col: str = "embedding",
                      query_id_col: str = "query_id",
                      multiprobe: int = 1,
-                     bucket_partitions: int = 64) -> DataFrame:
+                     bucket_partitions: int = 64,
+                     meta: dict | None = None) -> DataFrame:
     """Approximate top-k over a STORED bucket-partitioned signature index
     (``build_lsh_index``) — the scale path:
 
     1. query signatures + multi-probe expansion (tiny, driver-bounded:
-       |queries| x n_tables x n_masks bucket literals),
+       |queries| x n_tables x n_masks bucket literals, deduped driver-side
+       — no shuffle),
     2. partition-pruned scan of the index restricted to the probed
        buckets (no corpus-wide signature recompute, no corpus explode),
-    3. candidate ids join back to the corpus by id (broadcast of the
-       bounded candidate set — the big side never shuffles),
-    4. exact cosine + window rank.
+    3. candidate (query, id) pairs join back to the corpus by id
+       (duplicates across tables ride along — recomputing a Catalyst
+       cosine on a ≤ n_tables-duplicated candidate is cheaper than an
+       extra dedup shuffle),
+    4. ONE shuffle on query_id: repartition, then the (query, id) dedup
+       agg AND the rank window both reuse that partitioning
+       (HashPartitioning(q) satisfies both clustered distributions).
 
     The index must have been built with the same (n_planes, n_tables,
-    dim, seed, bucket_partitions)."""
+    dim, seed, bucket_partitions). Pass ``meta`` (from
+    ``load_lsh_index``/``read_lsh_meta``) to validate instead of trusting
+    the call-site: mismatched parameters raise rather than silently
+    dropping candidate buckets via a wrong pt modulus."""
+    if meta is not None:
+        ours = {"n_planes": n_planes, "n_tables": n_tables, "dim": dim,
+                "seed": seed, "bucket_partitions": bucket_partitions}
+        bad = {k_: (ours[k_], meta[k_]) for k_ in _LSH_META_KEYS
+               if k_ in meta and meta[k_] != ours[k_]}
+        if bad:
+            raise ValueError(
+                f"LSH index build parameters don't match the query's: "
+                f"{bad} (call != index sidecar). Rebuild the index or "
+                f"pass the sidecar values.")
     spark = index.sparkSession
     # queries are the driver-bounded small side by contract (like a kNN
     # query set): signatures + probe expansion run in local numpy — the
     # SAME plane matrix as lsh_signatures — so the distributed plan has
-    # exactly one Python eval (the cosine over pruned candidates)
+    # zero Python evals (the cosine is pure Catalyst)
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
     planes = np.random.default_rng(seed).standard_normal(
         (n_tables, dim, n_planes))
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     masks = np.asarray(_probe_masks(n_planes, multiprobe), dtype=np.int64)
-    probe_rows = []
+    probe_rows: set[tuple[str, int]] = set()
     for t in range(n_tables):
         bks = ((q_mat @ planes[t]) > 0) @ weights \
             + (t << np.int64(n_planes + 1))
         for qid, bk in zip(q_ids, bks.tolist()):
-            probe_rows += [(str(qid), int(bk ^ m)) for m in masks.tolist()]
+            probe_rows.update((str(qid), int(bk ^ m))
+                              for m in masks.tolist())
     probe_df = spark.createDataFrame(
-        probe_rows, f"{query_id_col} string, bk long").dropDuplicates()
+        sorted(probe_rows), f"{query_id_col} string, bk long")
     probe_vals = sorted({bk for _, bk in probe_rows})
     # pt literals prune partitions; bk literals push down to parquet
     # row-group stats (files are bk-sorted at build). Old-layout indexes
@@ -241,8 +296,7 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
                     for bk in probe_vals})) & flt
     cand_ids = (index.where(flt)
                 .join(F.broadcast(probe_df), "bk")
-                .select(query_id_col, id_col)
-                .dropDuplicates([query_id_col, id_col]))
+                .select(query_id_col, id_col))
     # no broadcast hint: AQE picks the build side from runtime sizes —
     # at 10^12 vectors the pruned candidate set is the small side; on a
     # dense small fixture (probes covering most buckets) the corpus is
@@ -253,7 +307,13 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
         f"{query_id_col} string, _qv array<double>")
     scored = cvecs.join(F.broadcast(qvec_df), query_id_col) \
         .withColumn("cos", cos_expr("_qv", "_cv"))
-    return _rank_topk(scored, k, id_col=id_col, query_id_col=query_id_col)
+    # single-shuffle finale: hash(q) partitioning satisfies the (q, id)
+    # dedup agg's ClusteredDistribution([q, id]) and the window's
+    # ClusteredDistribution([q]) — Catalyst inserts no further exchange
+    deduped = (scored.repartition(query_id_col)
+               .groupBy(query_id_col, id_col)
+               .agg(F.max("cos").alias("cos")))
+    return _rank_topk(deduped, k, id_col=id_col, query_id_col=query_id_col)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, *,

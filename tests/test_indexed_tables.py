@@ -133,11 +133,30 @@ class TestStoredLSH:
         queries = emb.where(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").cast("string").alias("query_id"),
             "embedding")
-        index = entry._lsh_index_table(spark, SF)
+        index, meta = entry._lsh_index_table(spark, SF)
         a = lsh_topk_indexed(index, emb, queries, 5, n_planes=6,
-                             n_tables=8, multiprobe=1)
+                             n_tables=8, multiprobe=1,
+                             bucket_partitions=meta["bucket_partitions"],
+                             meta=meta)
         b = lsh_topk(emb, queries, 5, n_planes=6, n_tables=8,
                      multiprobe=1)
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb
+
+    def test_meta_sidecar_rejects_mismatched_build_params(self, spark,
+                                                          entry):
+        from geomesa_spark.ml.similarity import lsh_topk_indexed
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            "embedding")
+        index, meta = entry._lsh_index_table(spark, SF)
+        assert meta is not None and "bucket_partitions" in meta
+        # a wrong pt modulus would silently exclude candidate buckets —
+        # the sidecar turns that into a hard error
+        with pytest.raises(ValueError, match="bucket_partitions"):
+            lsh_topk_indexed(
+                index, emb, queries, 5, n_planes=6, n_tables=8,
+                bucket_partitions=meta["bucket_partitions"] * 2,
+                meta=meta)
