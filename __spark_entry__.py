@@ -273,11 +273,25 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
                                                build))
 
 
+def _events_id_index(spark: SparkSession, sf_dir: str) -> str:
+    """Key-ordered id index over the events points (IdIndex parity):
+    the full record range-partitioned + sorted by event_id, so
+    ``event_id IN (...)`` lookups read ~|ids| rows via parquet row-group
+    stats. Returns the index path."""
+    from geomesa_spark.plans.strategy import build_id_index
+
+    def build(p: str) -> None:
+        build_id_index(_events_points(spark, sf_dir), p,
+                       id_col="event_id", n_files=8)
+
+    return _ensure_table(_idx_path("idkey", sf_dir), build)
+
+
 def warm_index_tables(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every persisted index table (ingest-time work) so
     query timings measure the query path, not one-time ingest."""
     for fn in (_events_xz2_table, _events_xz3_table, _events_s2_table,
-               _lsh_index_table):
+               _lsh_index_table, _events_id_index):
         fn(spark, sf_dir)
 
 
@@ -673,6 +687,23 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "bucket_partitions", 64),
                            meta=meta)
     return out.select("query_id", "rank", "vec_id")
+
+
+_ID_LOOKUP_IDS = [3, 1717, 4242, 7777, 9999]
+
+
+def q_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fetch these feature ids': the strategy decider picks the id
+    strategy (exact |ids| cost — IdFilterStrategy parity) and the scan
+    hits the key-ordered id index with the IN predicate pushed to
+    parquet row-group stats."""
+    from geomesa_spark.plans.filters import Attr
+    from geomesa_spark.plans.strategy import plan_with_strategy
+    f = Attr("event_id", "in", list(_ID_LOOKUP_IDS))
+    out = plan_with_strategy(
+        spark, _events_points(spark, sf_dir), f, stats={"rows": 1},
+        id_col="event_id", id_index=_events_id_index(spark, sf_dir))
+    return out.select("event_id", "event_type", "value", "lon", "lat")
 
 
 def _n_images(sf_dir: str) -> int:
@@ -1090,6 +1121,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_search": q_route_search,
         "phash_near_dup": q_phash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "id_lookup": q_id_lookup,
     }
 
 
@@ -1880,6 +1912,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp AS keeper, count(*) AS n_members
             FROM final GROUP BY comp ORDER BY keeper""",
         "image_brightness": _image_brightness_sql(),
+        "id_lookup": f"""
+            SELECT event_id, event_type, value, lon, lat FROM {pts}
+            WHERE event_id IN ({", ".join(map(str, _ID_LOOKUP_IDS))})
+            ORDER BY event_id""",
     }
 
 

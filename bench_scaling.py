@@ -41,6 +41,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def merge_bench_json(path: str, updates: dict) -> dict:
+    """Read-modify-write a bench artifact: top-level keys not in
+    ``updates`` (e.g. the skew section written by bench_skew.py) are
+    preserved — a writer must never clobber another writer's section
+    (round 3 lost the passing skew record exactly this way)."""
+    try:
+        with open(path) as f:
+            merged = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        merged = {}
+    merged.update(updates)
+    with open(path, "w") as f:
+        json.dump(merged, f)
+    return merged
+
+
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
     return (SparkSession.builder.master(f"local[{cpus}]")
@@ -285,8 +301,7 @@ def main() -> None:
             / (args.high / args.mid), 3)
     if not args.no_md:
         update_baseline_md(result)
-        with open("BENCH_SCALING.json", "w") as f:
-            json.dump(result, f)
+        merge_bench_json("BENCH_SCALING.json", result)
     print(json.dumps(result))
 
 

@@ -96,15 +96,20 @@ def main() -> None:
     spark = build_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    uni = spark.read.parquet(p_uni) if os.path.isdir(p_uni) else None
-    if uni is None:
+    # fixture cache: check each table independently (a run that died
+    # after uniform/ but before skewed/ committed must rebuild skewed/,
+    # not crash or time a half-written table); _SUCCESS = committed
+    def _ok(p: str) -> bool:
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    t_w_uni = t_w_skw_unsalted = t_w_skw_salted = None
+    if not _ok(p_uni):
         from geomesa_spark.raster.fixtures import images_df
         t_w_uni = timed_write(images_df(spark, args.n_images), p_uni, None)
+    if not _ok(p_skw):
         skw = skewed_images(spark, args.n_images)
         t_w_skw_unsalted = timed_write(skw, f"{base}/skewed_unsalted", None)
         t_w_skw_salted = timed_write(skw, p_skw, args.salt)
-    else:  # fixture cache: re-time only the writes if missing
-        t_w_uni = t_w_skw_unsalted = t_w_skw_salted = None
 
     shares = {"uniform": cell_share(spark, p_uni),
               "skewed": cell_share(spark, p_skw)}
@@ -130,14 +135,8 @@ def main() -> None:
                       "skewed_salted": t_w_skw_salted},
         "pass_1p3x": ratio <= 1.3,
     }
-    try:
-        with open("BENCH_SCALING.json") as f:
-            scaling = json.load(f)
-    except FileNotFoundError:
-        scaling = {}
-    scaling["skew"] = result
-    with open("BENCH_SCALING.json", "w") as f:
-        json.dump(scaling, f)
+    from bench_scaling import merge_bench_json
+    merge_bench_json("BENCH_SCALING.json", {"skew": result})
     if not args.keep:
         shutil.rmtree(f"{base}/skewed_unsalted", ignore_errors=True)
     print(json.dumps(result))

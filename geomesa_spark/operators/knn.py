@@ -42,6 +42,26 @@ def udf_haversine(lon1: pd.Series, lat1: pd.Series,
                                  lon2.to_numpy(np.float64), lat2.to_numpy(np.float64)))
 
 
+@F.pandas_udf(DoubleType())
+def udf_spheroid(lon1: pd.Series, lat1: pd.Series,
+                 lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+    from geomesa_spark.geo.measures import vincenty_m
+    return pd.Series(vincenty_m(lon1.to_numpy(np.float64), lat1.to_numpy(np.float64),
+                                lon2.to_numpy(np.float64), lat2.to_numpy(np.float64)))
+
+
+# WGS84 exact-geodesic option (GeodeticCalculator semantics — the
+# reference kNN measures ellipsoidal meters,
+# KNearestNeighborSearchProcess.scala:312-393). Window bounds stay
+# conservative under the spheroid: a path of w spheroid-meters spans at
+# most w / (min meridional curvature radius b^2/a = 6335.4 km) degrees of
+# latitude — up to R_mean/(b^2/a) ~= 1.0056x the sphere estimate — so
+# spheroid windows inflate by this slack before the cell cover (the
+# longitude bound already over-covers: it divides by R_mean < min nu).
+_METRIC_UDF = {"haversine": udf_haversine, "spheroid": udf_spheroid}
+_METRIC_WINDOW_SLACK = {"haversine": 1.0, "spheroid": 1.006}
+
+
 def _window_cells(qlon: float, qlat: float, w_m: float, res: int) -> list[int]:
     dlat = w_m / _M_PER_DEG
     phi_m = min(89.999, abs(qlat) + dlat)
@@ -90,11 +110,14 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
              tiebreak: list[str] | None = None,
              initial_radius_m: float | None = None,
              max_radius_m: float = 2.1e7,
-             max_rounds: int = 12) -> DataFrame:
+             max_rounds: int = 12,
+             metric: str = "haversine") -> DataFrame:
     """Exact k nearest points for each (query_id, lon, lat) query.
 
     Returns a DataFrame (query_id, rank, dist_m, <point columns>). The
-    result is exact under haversine distance; ties broken by point order.
+    result is exact under the chosen ``metric`` — ``"haversine"``
+    (sphere, default) or ``"spheroid"`` (WGS84 Vincenty, the reference's
+    ellipsoidal GeodeticCalculator meters) — ties broken by point order.
 
     Execution: each round scans ONLY the ring of cover cells not yet
     scanned for that query (the reference's "hole" exclusion on window
@@ -105,6 +128,10 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
     re-executing earlier rounds' joins — ONE distributed job per round.
     Driver-side state stays O(|queries| * cover cells).
     """
+    if metric not in _METRIC_UDF:
+        raise ValueError(f"unknown metric {metric!r}; "
+                         f"use one of {sorted(_METRIC_UDF)}")
+    slack = _METRIC_WINDOW_SLACK[metric]
     spark = points.sparkSession
     if initial_radius_m is None:
         n = estimated_count if estimated_count is not None \
@@ -136,7 +163,7 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
         rows = []
         for qid, w in live.items():
             qlon, qlat = qpos[qid]
-            ring = [c for c in _window_cells(qlon, qlat, w, res)
+            ring = [c for c in _window_cells(qlon, qlat, w * slack, res)
                     if c not in scanned[qid]]
             scanned[qid].update(ring)
             rows += [(qid, qlon, qlat, c) for c in ring]
@@ -144,7 +171,7 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
             qdf = spark.createDataFrame(
                 rows, "query_id string, qlon double, qlat double, cell long")
             new_cand = _round_candidates(pts, qdf, lon, lat, cell_col,
-                                         has_prefix)
+                                         has_prefix, metric=metric)
             cand_acc = new_cand if cand_acc is None \
                 else cand_acc.unionByName(new_cand)
         if cand_acc is None:
@@ -193,14 +220,16 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
 
 
 def _round_candidates(pts: DataFrame, qdf: DataFrame, lon: str, lat: str,
-                      cell_col: str, has_prefix: bool) -> DataFrame:
+                      cell_col: str, has_prefix: bool,
+                      metric: str = "haversine") -> DataFrame:
     """One round's ring-scan: broadcast the (query, cell) frame against
     the big point side — the big side never shuffles; the cell column is
     the native Catalyst expression when the table lacks cell_prefix."""
+    dist = _METRIC_UDF[metric]
     return (pts.join(F.broadcast(qdf), on=pts[cell_col] == qdf["cell"],
                      how="inner")
             .drop("cell", *([] if has_prefix else ["__pc__"]))
-            .withColumn("dist_m", udf_haversine(
+            .withColumn("dist_m", dist(
                 F.col(lon), F.col(lat), F.col("qlon"), F.col("qlat"))))
 
 

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from geomesa_spark.cells import PARTITION_RES, bbox_cover
 from geomesa_spark.cells.native import cell_expr
-from geomesa_spark.operators.knn import udf_haversine
+from geomesa_spark.operators.knn import (_METRIC_UDF, _METRIC_WINDOW_SLACK,
+                                         udf_haversine)
 
 EARTH_R = 6371008.7714
 DEG_M = math.pi * EARTH_R / 180.0  # meters per degree of latitude
@@ -66,20 +67,28 @@ def _window_cells(qlon: float, qlat: float, radius_m: float,
 def proximity_join(points: DataFrame,
                    queries: list[tuple[str, float, float]],
                    radius_m: float, *, lon: str = "lon", lat: str = "lat",
-                   res: int = PARTITION_RES) -> DataFrame:
-    """Rows of ``points`` within ``radius_m`` meters (haversine) of each
-    query point. Output: (query_id, <point columns>, dist_m), deduped per
-    (query, point)."""
+                   res: int = PARTITION_RES,
+                   metric: str = "haversine") -> DataFrame:
+    """Rows of ``points`` within ``radius_m`` meters of each query point
+    under ``metric`` ("haversine" sphere, default, or "spheroid" WGS84
+    Vincenty — the reference's ellipsoidal GeodeticCalculator meters).
+    Output: (query_id, <point columns>, dist_m), deduped per (query,
+    point). Spheroid windows inflate by the documented slack before the
+    cell cover so the candidate set still provably over-selects."""
+    if metric not in _METRIC_UDF:
+        raise ValueError(f"unknown metric {metric!r}; "
+                         f"use one of {sorted(_METRIC_UDF)}")
     spark = points.sparkSession
+    w = radius_m * _METRIC_WINDOW_SLACK[metric]
     cand_rows = [(qid, qlon, qlat, c)
                  for (qid, qlon, qlat) in queries
-                 for c in _window_cells(qlon, qlat, radius_m, res)]
+                 for c in _window_cells(qlon, qlat, w, res)]
     cand = spark.createDataFrame(
         cand_rows, "query_id string, qlon double, qlat double, __cell__ long")
     pts = points.withColumn("__cell__", cell_expr(lon, lat, res))
     joined = pts.join(F.broadcast(cand), "__cell__").drop("__cell__")
-    dist = udf_haversine(F.col(lon), F.col(lat),
-                         F.col("qlon"), F.col("qlat"))
+    dist = _METRIC_UDF[metric](F.col(lon), F.col(lat),
+                               F.col("qlon"), F.col("qlat"))
     return (joined.withColumn("dist_m", dist)
             .where(F.col("dist_m") <= radius_m)
             .drop("qlon", "qlat"))

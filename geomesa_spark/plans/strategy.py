@@ -132,6 +132,22 @@ def attribute_index_lookup(spark: SparkSession, index_path: str,
     return primary.join(ids, id_col, "left_semi")
 
 
+# --------------------------------------------------------------- id index
+
+def build_id_index(df: DataFrame, index_path: str, *, id_col: str,
+                   n_files: int = 8) -> None:
+    """Key-ordered copy of the PRIMARY table sorted by feature id — the
+    reference's IdIndex (full record keyed by id,
+    /root/reference/geomesa-index-api/src/main/scala/org/locationtech/
+    geomesa/index/index/id/IdIndex.scala), Spark-native: global range
+    partitioning + in-file sort by id means an ``id =``/``id IN``
+    predicate prunes parquet row groups via min/max stats and reads
+    ~|ids| rows, not the table."""
+    (df.repartitionByRange(n_files, id_col)
+       .sortWithinPartitions(id_col)
+       .write.mode("overwrite").parquet(index_path))
+
+
 # ----------------------------------------------------------- the decider
 
 @dataclass
@@ -193,17 +209,20 @@ def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
                        stats: dict,
                        attr_indexes: dict[str, str] | None = None,
                        id_col: str = "id",
+                       id_index: str | None = None,
                        cell_col: str = "cell_prefix",
                        week_col: str | None = None,
                        lon: str = "lon", lat: str = "lat",
                        ts: str = "ts",
                        res: int = PARTITION_RES,
                        allow_full_scan: bool = False) -> DataFrame:
-    """Decide AND execute: when the decider picks an attribute strategy
-    with a built secondary index, prune by index lookup (semi-join-back)
-    and refine with the FULL filter; otherwise fall through to the
-    cell/week planner. A wrong cost estimate can only cost time — the
-    exact refine always re-applies the whole filter."""
+    """Decide AND execute: when the decider picks the id strategy, scan
+    the key-ordered id index (or push the id predicate on the primary)
+    and refine; when it picks an attribute strategy with a built
+    secondary index, prune by index lookup (semi-join-back) and refine
+    with the FULL filter; otherwise fall through to the cell/week
+    planner. A wrong cost estimate can only cost time — the exact refine
+    always re-applies the whole filter."""
     tiered = set()
     if attr_indexes:
         for col, p in attr_indexes.items():
@@ -213,7 +232,17 @@ def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
             except Exception:
                 pass
     s = decide(f, stats, res=res, allow_full_scan=allow_full_scan,
-               tiered_attrs=tiered)
+               tiered_attrs=tiered, id_col=id_col)
+    if s.kind == "id":
+        pred = _first_attr_pred(f, id_col)
+        base = spark.read.parquet(id_index) if id_index else df
+        c = F.col(id_col)
+        pushed = c.isin(list(pred.value)) if pred.op == "in" \
+            else c == pred.value
+        # the id predicate reaches the parquet scan (sargable); on the
+        # key-ordered id index that's a row-group-pruned point read
+        return base.where(pushed).where(FL.to_refine_column(
+            f, lon=lon, lat=lat, ts=ts))
     if s.kind in ("attribute", "attribute+time") and attr_indexes \
             and s.attribute in attr_indexes:
         pred = _first_attr_pred(f, s.attribute)
@@ -233,15 +262,27 @@ def plan_with_strategy(spark: SparkSession, df: DataFrame, f, *,
 
 def decide(f, stats: dict, *, res: int = PARTITION_RES,
            allow_full_scan: bool = False,
-           tiered_attrs: set[str] | None = None) -> Strategy:
+           tiered_attrs: set[str] | None = None,
+           id_col: str | None = None) -> Strategy:
     """Pick the cheapest primary strategy for ``f`` (StrategyDecider
     semantics: cost = estimated rows x multiplier; ties prefer the
     attribute index, matching the reference's equality-first behavior).
     ``tiered_attrs``: columns whose secondary index carries the
     epoch_week tier — only those can propose the intersected
-    attribute+time strategy."""
+    attribute+time strategy. ``id_col``: a positive ``id =``/``id IN``
+    predicate proposes the id strategy at cost = |ids| — an exact count,
+    not an estimate, so it wins whenever present (IdFilterStrategy
+    parity: FilterSplitter treats id filters as the cheapest index,
+    /root/reference/geomesa-index-api/.../planning/FilterSplitter.scala)."""
     rows = max(1, stats.get("rows", 1))
     candidates: list[Strategy] = []
+
+    if id_col is not None:
+        id_pred = _first_attr_pred(f, id_col)
+        if id_pred is not None and id_pred.op in ("=", "in"):
+            n_ids = len(id_pred.value) if id_pred.op == "in" else 1
+            candidates.append(Strategy("id", float(n_ids),
+                                       attribute=id_col))
 
     cover = FL.extract_cover(f, res=res)
     if cover is not None:

@@ -60,6 +60,41 @@ def test_knn_matches_brute_force(points):
         assert got_ids == exp_ids, qid
 
 
+def test_knn_spheroid_matches_brute_force_vincenty(points):
+    """metric="spheroid": exact under WGS84 Vincenty meters (the
+    reference's ellipsoidal GeodeticCalculator,
+    KNearestNeighborSearchProcess.scala:312-393); the inflated window
+    keeps the candidate cover conservative."""
+    from geomesa_spark.geo.measures import vincenty_m
+    out = knn_join(points, QUERIES, K, metric="spheroid")
+    rows = out.select("query_id", "rank", "point_id", "dist_m").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.point_id, r.dist_m))
+    assert set(by_q) == {q[0] for q in QUERIES}
+    for qid, qlon, qlat in QUERIES:
+        d = vincenty_m(LON, LAT, np.full(N, qlon), np.full(N, qlat))
+        idx = np.argsort(d, kind="stable")[:K]
+        got = sorted(by_q[qid])
+        np.testing.assert_allclose(
+            np.array([x for _, _, x in got]), d[idx], rtol=1e-9)
+        assert [pid for _, pid, _ in got] == [int(i) for i in idx], qid
+
+
+def test_proximity_spheroid_matches_brute_force(points):
+    from geomesa_spark.geo.measures import vincenty_m
+    from geomesa_spark.operators.proximity import proximity_join
+    radius = 900_000.0
+    out = proximity_join(points, QUERIES, radius, metric="spheroid")
+    got = {(r.query_id, r.point_id) for r in
+           out.select("query_id", "point_id").collect()}
+    want = set()
+    for qid, qlon, qlat in QUERIES:
+        d = vincenty_m(LON, LAT, np.full(N, qlon), np.full(N, qlat))
+        want |= {(qid, int(i)) for i in np.nonzero(d <= radius)[0]}
+    assert got == want and want
+
+
 def test_knn_k_larger_than_matches(spark):
     few = spark.createDataFrame(
         [(1, 10.0, 10.0), (2, 10.1, 10.1), (3, 10.2, 10.2)],

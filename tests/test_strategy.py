@@ -233,3 +233,55 @@ class TestDeciderFallbacks:
         # explicit opt-in still runs it
         assert plan_query(df, not_(Attr("c", "=", 1)),
                           allow_full_scan=True).count() == 0
+
+
+class TestIdIndex:
+    def test_id_strategy_wins_and_reads_pruned(self, spark, tmp_path):
+        """'fetch these feature ids': the decider proposes the id
+        strategy at exact |ids| cost (IdFilterStrategy parity), the scan
+        pushes the IN predicate to the key-ordered id index, and the
+        rows equal the brute-force filter."""
+        from geomesa_spark.cells import PARTITION_RES
+        from geomesa_spark.cells.native import cell_expr
+        from geomesa_spark.plans.strategy import (build_id_index,
+                                                  plan_with_strategy)
+        rng = np.random.default_rng(29)
+        df = (spark.createDataFrame(
+            [(int(i), int(rng.integers(0, 100)), float(x), float(y))
+             for i, (x, y) in enumerate(zip(
+                 rng.uniform(-60, 60, 5000), rng.uniform(-50, 50, 5000)))],
+            "id long, user long, lon double, lat double")
+            .withColumn("cell_prefix",
+                        cell_expr("lon", "lat", PARTITION_RES))).cache()
+        idx_path = str(tmp_path / "id_idx")
+        build_id_index(df, idx_path, id_col="id")
+        stats = {"rows": 5000, "cardinality": {"user": 100}}
+        ids = [3, 999, 1500, 4242]
+        f = and_(bbox(-60.0, -50.0, 60.0, 50.0),
+                 Attr("id", "in", ids))
+        # decider: id beats spatial and attribute no matter the stats
+        s = decide(f, stats, id_col="id")
+        assert s.kind == "id" and s.cost == float(len(ids))
+        out = plan_with_strategy(spark, df, f, stats=stats,
+                                 id_col="id", id_index=idx_path)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the IN predicate reaches the id-index parquet scan (sargable:
+        # row-group min/max prune on the sorted id layout)
+        assert "PushedFilters" in plan and "In(id" in plan
+        files = out.inputFiles()
+        assert files and all("id_idx" in p for p in files)  # index, not df
+        got = {r["id"] for r in out.collect()}
+        want = {r["id"] for r in df.where(F.col("id").isin(ids)).collect()}
+        assert got == want == set(ids)
+
+    def test_id_equality_without_index_pushes_on_primary(self, spark):
+        from geomesa_spark.plans.strategy import plan_with_strategy
+        df = spark.createDataFrame(
+            [(int(i), float(i % 360 - 180), float(i % 180 - 90))
+             for i in range(1000)], "id long, lon double, lat double")
+        f = Attr("id", "=", 77)
+        s = decide(f, {"rows": 1000}, id_col="id")
+        assert s.kind == "id" and s.cost == 1.0
+        out = plan_with_strategy(spark, df, f, stats={"rows": 1000},
+                                 id_col="id", allow_full_scan=True)
+        assert [r["id"] for r in out.collect()] == [77]
