@@ -108,11 +108,18 @@ def _udf(sig: str, ret, fn, *, skip_null: bool = True):
                 r = gio.to_wkb(r) if r is not None else None
             out.append(r)
         if isinstance(ret_type, (DoubleType, FloatType)):
-            return pd.Series(out, dtype="float64" if isinstance(ret_type, DoubleType)
-                             else "float32")
+            # nullable extension dtype: a None result must reach Spark as
+            # NULL, not NaN (plain float64 ndarrays erase the distinction
+            # — the reference's nullableUDF contract returns null,
+            # SQLFunctionHelper.scala:22-53)
+            return pd.Series(pd.array(
+                out, dtype="Float64" if isinstance(ret_type, DoubleType)
+                else "Float32"))
         return pd.Series(out, dtype=object)
 
-    return pandas_udf(ret_type)(kernel)
+    k = pandas_udf(ret_type)(kernel)
+    k._st_sig = sig  # arity/arg-kind metadata for the null-audit test
+    return k
 
 
 # ------------------------------------------------- vectorized fast paths
@@ -189,15 +196,24 @@ def _predicate_udf(name: str, scalar_fn):
             except (ValueError, ZeroDivisionError):
                 out.append(None)
         return pd.Series(out, dtype=object)
-    return pandas_udf(BooleanType())(kernel)
+    k = pandas_udf(BooleanType())(kernel)
+    k._st_sig = "gg"
+    return k
 
 
 def _st_makepoint_udf():
     @pandas_udf(BinaryType())
     def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(gio.points_to_wkb(x.to_numpy(dtype=np.float64),
-                                           y.to_numpy(dtype=np.float64)),
-                         dtype=object)
+        out = pd.Series(gio.points_to_wkb(x.to_numpy(dtype=np.float64),
+                                          y.to_numpy(dtype=np.float64)),
+                        dtype=object)
+        # null-in -> null-out: the float64 conversion turns None into
+        # NaN, which would otherwise encode as POINT(nan nan)
+        null = (x.isna() | y.isna()).to_numpy()
+        if null.any():
+            out[null] = None
+        return out
+    st_makepoint._st_sig = "vv"
     return st_makepoint
 
 
@@ -219,7 +235,12 @@ def _st_distancesphere_udf():
                 x1[i], y1[i] = ca
                 x2[i], y2[i] = cb
         d = gm.haversine_m(x1, y1, x2, y2)
-        return pd.Series(np.where(np.isnan(x1) | np.isnan(x2), np.nan, d))
+        # nullable dtype: unresolvable inputs (nulls, empties) must reach
+        # Spark as NULL, not NaN
+        return pd.Series(pd.array(
+            np.where(np.isnan(x1) | np.isnan(x2), np.nan, d),
+            dtype="Float64"))
+    st_distancesphere._st_sig = "gg"
     return st_distancesphere
 
 

@@ -150,8 +150,20 @@ def to_arrow_ipc_delta(df: DataFrame,
     re-seen. ``arrow_ipc_reduce`` consumes either form unchanged.
     """
     import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     dcols = tuple(dictionary_cols)
+    # stream schema DECLARED from the Spark schema, not inferred from the
+    # first non-empty batch: an all-null column in that batch would infer
+    # pa.null() and typed later batches would fail the cast, and a
+    # drifting dictionary value type would hit DictionaryArray casts that
+    # can throw — with a declared schema every batch coerces to the same
+    # types up front
+    spark_arrow = to_arrow_schema(df.schema)
+    declared = pa.schema([
+        pa.field(f.name, pa.dictionary(pa.int32(), f.type))
+        if f.name in dcols else f
+        for f in spark_arrow])
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # built per-task: IpcWriteOptions is not cloudpickle-able
@@ -159,18 +171,17 @@ def to_arrow_ipc_delta(df: DataFrame,
         lookup: dict[str, dict] = {c: {} for c in dcols}
         values: dict[str, list] = {c: [] for c in dcols}
         writer = None
-        sink = schema = None
+        sink = None
         n_rows = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            plain = pa.Table.from_pandas(pdf, preserve_index=False)
-            arrays, fields = [], []
-            for name in plain.column_names:
-                col = plain.column(name).combine_chunks()
+            arrays = []
+            for field in declared:
+                name = field.name
+                raw = pdf[name]
                 if name in dcols:
                     look, vals = lookup[name], values[name]
-                    raw = pdf[name]
                     for v in pd.unique(raw.dropna()):
                         if v not in look:
                             look[v] = len(vals)
@@ -181,19 +192,15 @@ def to_arrow_ipc_delta(df: DataFrame,
                     col = pa.DictionaryArray.from_arrays(
                         pa.array(idx.astype("int32"), type=pa.int32(),
                                  mask=mask),
-                        pa.array(vals))
+                        pa.array(vals, type=field.type.value_type))
+                else:
+                    col = pa.Array.from_pandas(raw, type=field.type)
                 arrays.append(col)
-                fields.append(pa.field(name, col.type))
             if writer is None:
-                schema = pa.schema(fields)
                 sink = pa.BufferOutputStream()
-                writer = pa.ipc.new_stream(sink, schema, options=opts)
-            else:  # pin non-dict types to the first batch's schema
-                arrays = [a if f.type == schema.field(i).type
-                          else a.cast(schema.field(i).type)
-                          for i, (a, f) in enumerate(zip(arrays, fields))]
+                writer = pa.ipc.new_stream(sink, declared, options=opts)
             writer.write_batch(
-                pa.record_batch(arrays, schema=schema))
+                pa.record_batch(arrays, schema=declared))
             n_rows += len(pdf)
         if writer is None:
             return

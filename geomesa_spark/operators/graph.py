@@ -32,7 +32,14 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
                          max_iter: int = 50) -> DataFrame:
     """(node, comp) for every node appearing in ``edges`` — ``comp`` is
     the component's minimum node id (by the column's natural ordering),
-    i.e. the canonical keeper of a dedup cluster."""
+    i.e. the canonical keeper of a dedup cluster.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence: partially-merged labels would make a downstream dedup
+    elect multiple keepers per true cluster and delete against wrong
+    canonical ids — with pointer jumping, non-convergence within
+    O(log n) rounds means max_iter is badly undersized, never a state
+    worth silently returning."""
     # LAZY checkpoints throughout: each round's convergence count() is
     # then the round's ONLY job (it materializes that round's checkpoint
     # as a side effect) — eager checkpoints would triple the action count
@@ -66,8 +73,10 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
                    .where(F.col("old") != F.col("comp")).count())
         labels = jumped
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} rounds "
+        f"(last round changed {changed} labels); raise max_iter")
 
 
 def dedup_clusters(edges: DataFrame, *, a: str = "a", b: str = "b",

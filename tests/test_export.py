@@ -181,6 +181,45 @@ class TestArrowIPC:
             t2 = r.read_all()
         assert t2.num_rows == n
 
+    def test_delta_all_null_first_batch_keeps_declared_type(self, spark):
+        """The stream schema comes from the Spark schema, not the first
+        batch: a first batch whose string column is entirely null must
+        still produce a string-typed stream (inference would pin
+        pa.null() and fail on the first typed batch)."""
+        import pyarrow as pa
+        from geomesa_spark.operators.export import to_arrow_ipc_delta
+        df = spark.createDataFrame(
+            [(i, None if i < 8 else f"v{i}") for i in range(16)],
+            "id long, s string").coalesce(1).sortWithinPartitions("id")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        try:
+            parts = to_arrow_ipc_delta(df).collect()
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        assert len(parts) == 1 and parts[0]["n_rows"] == 16
+        with pa.ipc.open_stream(
+                pa.BufferReader(bytes(parts[0]["ipc"]))) as r:
+            tbl = r.read_all()
+        assert tbl.schema.field("s").type == pa.string()
+        got = sorted((i, s) for i, s in
+                     zip(tbl["id"].to_pylist(), tbl["s"].to_pylist()))
+        assert got == [(i, None if i < 8 else f"v{i}") for i in range(16)]
+        # same guarantee for a dictionary column that starts all-null
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+        try:
+            parts = to_arrow_ipc_delta(
+                df, dictionary_cols=("s",)).collect()
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        with pa.ipc.open_stream(
+                pa.BufferReader(bytes(parts[0]["ipc"]))) as r:
+            tbl = r.read_all()
+        assert tbl.schema.field("s").type == pa.dictionary(pa.int32(),
+                                                           pa.string())
+        got = sorted((i, s) for i, s in
+                     zip(tbl["id"].to_pylist(), tbl["s"].to_pylist()))
+        assert got == [(i, None if i < 8 else f"v{i}") for i in range(16)]
+
     def test_partial_streams_are_self_contained(self, spark):
         import pyarrow as pa
         from geomesa_spark.operators.export import to_arrow_ipc_partitions

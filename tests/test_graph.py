@@ -46,3 +46,15 @@ class TestConnectedComponents:
         got = {r["keeper"]: r["n_members"]
                for r in dedup_clusters(df).collect()}
         assert got == {"a": 3, "x": 2}
+
+
+def test_unconverged_raises(spark):
+    """max_iter exhaustion must raise, not return partially-merged
+    labels (a silent partial merge would make dedup delete against
+    wrong keepers)."""
+    import pytest
+    from geomesa_spark.operators.graph import connected_components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
