@@ -82,6 +82,98 @@ def cell_share(spark, path: str) -> float:
     return round(mx / tot, 3)
 
 
+def _uniform_points(spark, n: int):
+    """Deterministic uniform world points (the events-points recipe)."""
+    from pyspark.sql import functions as F
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
+
+
+def _region_rows(hot: bool, n_regions: int):
+    """WKB region boxes: ``hot`` stacks ALL regions over the one SF cell
+    (the region-side hot spot); uniform spreads them 4-per-cell over 250
+    res-4 cells. Box sizes are matched so total candidate pairs are
+    ~equal — only the JOIN-KEY distribution differs."""
+    import numpy as np
+
+    from geomesa_spark.cells import cell_bounds
+    from geomesa_spark.geo import Polygon, to_wkb
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(n_regions):
+        if hot:
+            x0c, y0c, x1c, y1c = HOT_LON0, HOT_LAT0, HOT_LON1, HOT_LAT1
+        else:
+            b = cell_bounds(np.array([i % 250]), 4)
+            x0c, y0c, x1c, y1c = (float(v[0]) for v in b)
+        w, h = x1c - x0c, y1c - y0c
+        # sub-box covering ~81% of the cell area at a random offset:
+        # overlapping hot boxes, non-identical (no WKB-memo shortcut)
+        dx = float(rng.uniform(0, 0.1)) * w
+        dy = float(rng.uniform(0, 0.1)) * h
+        poly = Polygon([[x0c + dx, y0c + dy], [x0c + dx + 0.9 * w, y0c + dy],
+                        [x0c + dx + 0.9 * w, y0c + dy + 0.9 * h],
+                        [x0c + dx, y0c + dy + 0.9 * h], [x0c + dx, y0c + dy]])
+        rows.append((f"r{i}", bytearray(to_wkb(poly))))
+    return rows
+
+
+def join_skew_bench(spark, n_points: int, n_regions: int, salt: int,
+                    rounds: int) -> dict:
+    """Region-side hot spot: n_regions overlapping boxes over ONE res-4
+    cell vs the same boxes spread uniformly — equal candidate-pair work,
+    all of it landing on one join key in the hot case. Three plans per
+    fixture: broadcast (the engine default — region hot spots never
+    concentrate by key because the big side is never shuffled on the
+    cell), forced shuffle join with AQE skew-join splitting the hot
+    partition, and forced shuffle + explicit salt (ShardStrategy)."""
+    from geomesa_spark.operators.join import spatial_join
+
+    pts = _uniform_points(spark, n_points).localCheckpoint()  # fix input
+    # warm the Python UDF workers + JIT so the first timed plan doesn't
+    # pay the per-core worker spawn (same discipline as bench.py)
+    warm_regs = spark.createDataFrame(_region_rows(False, 8),
+                                      "region_id string, geom binary")
+    spatial_join(_uniform_points(spark, 10_000), warm_regs,
+                 predicate="st_intersects", broadcast_regions=True).count()
+    out: dict = {"n_points": n_points, "n_regions": n_regions}
+    for name, hot in (("uniform", False), ("hot", True)):
+        regs = spark.createDataFrame(_region_rows(hot, n_regions),
+                                     "region_id string, geom binary")
+        plans = {
+            "broadcast": dict(broadcast_regions=True),
+            "shuffle_aqe_skew": dict(broadcast_regions=False),
+            "shuffle_salted": dict(broadcast_regions=False, salt=salt),
+        }
+        rec: dict = {}
+        for pname, kw in plans.items():
+            force = pname != "broadcast"
+            if force:  # disable auto-broadcast so the shuffle path runs
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                best = None
+                for _ in range(rounds):
+                    t0 = time.perf_counter()
+                    n = spatial_join(pts, regs,
+                                     predicate="st_intersects", **kw) \
+                        .count()
+                    dt = round(time.perf_counter() - t0, 3)
+                    best = dt if best is None else min(best, dt)
+                rec[pname] = {"sec": best, "rows": n}
+            finally:
+                if force:
+                    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        out[name] = rec
+    for pname in ("broadcast", "shuffle_aqe_skew", "shuffle_salted"):
+        out[f"ratio_{pname}"] = round(
+            out["hot"][pname]["sec"] / out["uniform"][pname]["sec"], 3)
+    out["pass_1p3x"] = out["ratio_broadcast"] <= 1.3
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-images", type=int, default=480_000)
@@ -89,7 +181,22 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--join-only", action="store_true",
+                    help="run only the region-hot-spot join section")
+    ap.add_argument("--join-points", type=int, default=2_000_000)
+    ap.add_argument("--join-regions", type=int, default=1000)
     args = ap.parse_args()
+
+    if args.join_only:
+        spark = build_spark(args.cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        res = join_skew_bench(spark, args.join_points, args.join_regions,
+                              args.salt, args.rounds)
+        spark.stop()
+        from bench_scaling import merge_bench_json
+        merge_bench_json("BENCH_SCALING.json", {"join_skew": res})
+        print(json.dumps(res))
+        return
 
     base = f"/tmp/bench_skew_{args.n_images}"
     p_uni, p_skw = f"{base}/uniform", f"{base}/skewed"
