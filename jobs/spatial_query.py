@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--t1")
     ap.add_argument("--attr", action="append", default=[],
                     help="column=value equality predicate (repeatable)")
+    ap.add_argument("--ids", help="comma-separated feature ids (id "
+                    "strategy: key-ordered lookup when --id-index given)")
+    ap.add_argument("--id-col", default="image_id")
+    ap.add_argument("--id-index",
+                    help="path of a build_id_index table for --ids")
     ap.add_argument("--loose-bbox", action="store_true")
     ap.add_argument("--allow-full-scan", action="store_true")
     ap.add_argument("--out")
@@ -61,22 +66,32 @@ def main() -> None:
     for a in args.attr:
         col, val = a.split("=", 1)
         parts.append(Attr(col, "=", val))
+    if args.ids:
+        parts.append(Attr(args.id_col, "in", args.ids.split(",")))
     if not parts:
-        raise SystemExit("no predicates; pass --bbox/--t0/--attr")
+        raise SystemExit("no predicates; pass --bbox/--t0/--attr/--ids")
     f = parts[0] if len(parts) == 1 else and_(*parts)
 
     stats = read_stats(args.table)
     strategy = None
-    if stats:
-        strategy = decide(f, stats,
-                          allow_full_scan=args.allow_full_scan)
+    if stats or args.ids:
+        strategy = decide(f, stats or {"rows": 1},
+                          allow_full_scan=args.allow_full_scan,
+                          id_col=args.id_col if args.ids else None)
 
     df = spark.read.parquet(args.table)
     week_col = "epoch_week" if "epoch_week" in df.columns else None
     t0 = time.perf_counter()
-    out = plan_query(df, f, week_col=week_col,
-                     allow_full_scan=args.allow_full_scan,
-                     loose_bbox=args.loose_bbox)
+    if strategy is not None and strategy.kind == "id":
+        from geomesa_spark.plans.strategy import plan_with_strategy
+        out = plan_with_strategy(
+            spark, df, f, stats=stats or {"rows": 1},
+            id_col=args.id_col, id_index=args.id_index,
+            allow_full_scan=args.allow_full_scan)
+    else:
+        out = plan_query(df, f, week_col=week_col,
+                         allow_full_scan=args.allow_full_scan,
+                         loose_bbox=args.loose_bbox)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
