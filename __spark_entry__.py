@@ -262,14 +262,18 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
     drowning in file listing; a real 10^12-vector build sizes
     bucket_partitions to cluster write parallelism and the sidecar keeps
     queries honest either way."""
-    from geomesa_spark.ml.similarity import build_lsh_index, load_lsh_index
+    from geomesa_spark.ml.similarity import (build_lsh_index,
+                                             default_n_planes,
+                                             load_lsh_index)
 
     def build(p: str) -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_lsh_index(emb, p, n_planes=6, n_tables=8,
-                        bucket_partitions=16)
+        # plane count sized to the corpus (constant bucket occupancy):
+        # a fixed p degenerates to brute force at larger fixtures
+        build_lsh_index(emb, p, n_planes=default_n_planes(emb.count()),
+                        n_tables=8, bucket_partitions=16)
 
-    return load_lsh_index(spark, _ensure_table(_idx_path("lsh3", sf_dir),
+    return load_lsh_index(spark, _ensure_table(_idx_path("lsh4", sf_dir),
                                                build))
 
 
@@ -681,10 +685,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     index, meta = _lsh_index_table(spark, sf_dir)  # stored + sidecar
-    out = lsh_topk_indexed(index, emb, queries_df, 10, n_planes=6,
-                           n_tables=8, multiprobe=2,
-                           bucket_partitions=(meta or {}).get(
-                               "bucket_partitions", 64),
+    out = lsh_topk_indexed(index, emb, queries_df, 10,
+                           n_planes=meta["n_planes"],
+                           n_tables=meta["n_tables"], multiprobe=2,
+                           bucket_partitions=meta["bucket_partitions"],
                            meta=meta)
     return out.select("query_id", "rank", "vec_id")
 

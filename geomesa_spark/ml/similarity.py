@@ -161,6 +161,22 @@ def _rank_topk(scored: DataFrame, k: int, *, id_col: str,
                     F.round(F.col("cos"), 6).alias("cos")))
 
 
+def default_n_planes(n_rows: int, *, target_bucket_rows: int = 24,
+                     lo: int = 4, hi: int = 16) -> int:
+    """Size the hyperplane count so per-table bucket occupancy stays
+    ~``target_bucket_rows`` regardless of corpus size: 2^p buckets for
+    n rows → p = log2(n / target). A FIXED p does not survive scale-up —
+    at 100x the rows every probe returns 100x the candidates and LSH
+    degenerates into brute force (measured: the sf0.5 fixture at p=6
+    probes every bucket). The build records p in the sidecar, so queries
+    follow the index, not a constant."""
+    import math
+    if n_rows <= 0:
+        return lo
+    return max(lo, min(hi, round(math.log2(max(n_rows, 1)
+                                           / float(target_bucket_rows)))))
+
+
 _LSH_META_FILE = "_lsh_meta.json"
 _LSH_META_KEYS = ("n_planes", "n_tables", "dim", "seed",
                   "bucket_partitions")

@@ -134,12 +134,13 @@ class TestStoredLSH:
             F.col("vec_id").cast("string").alias("query_id"),
             "embedding")
         index, meta = entry._lsh_index_table(spark, SF)
-        a = lsh_topk_indexed(index, emb, queries, 5, n_planes=6,
-                             n_tables=8, multiprobe=1,
+        a = lsh_topk_indexed(index, emb, queries, 5,
+                             n_planes=meta["n_planes"],
+                             n_tables=meta["n_tables"], multiprobe=1,
                              bucket_partitions=meta["bucket_partitions"],
                              meta=meta)
-        b = lsh_topk(emb, queries, 5, n_planes=6, n_tables=8,
-                     multiprobe=1)
+        b = lsh_topk(emb, queries, 5, n_planes=meta["n_planes"],
+                     n_tables=meta["n_tables"], multiprobe=1)
         ra = sorted(map(tuple, a.collect()))
         rb = sorted(map(tuple, b.collect()))
         assert ra == rb
