@@ -277,6 +277,76 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
                                                build))
 
 
+_IVF_NPROBE = 4
+
+
+def _ivf_index_table(spark: SparkSession, sf_dir: str):
+    """Stored IVF-Flat index over the embeddings fixture (sqrt(n)
+    centroid lists, embeddings inline, hive-partitioned by
+    ``list_id % 16``). Returns (DataFrame, centroid matrix, sidecar).
+    Built once at ingest like the LSH index; the oracle's numpy twin
+    builder may also have materialized it — query and oracle read the
+    same stored files either way."""
+    from geomesa_spark.ml.ivf import build_ivf_index, load_ivf_index
+
+    def build(p: str) -> None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ivf_index(emb, p, list_partitions=16)
+
+    return load_ivf_index(spark, _ensure_table(_idx_path("ivf1", sf_dir),
+                                               build))
+
+
+def _ivf_oracle_sql(path: str, nprobe: int) -> str:
+    """DuckDB twin of ``q_ivf_topk`` reading the SAME stored index
+    (centroid sidecar + inverted lists): replicates probe selection,
+    candidate restriction, and ranking. IVF is approximate by design, so
+    unlike lsh_topk's recall-1.0 exact-oracle gate this verifies the
+    distributed plumbing exactly at any recall — recall itself is
+    measured in pytest."""
+    return f"""
+        WITH cent AS (
+          SELECT list_id, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{path}/_ivf_centroids.parquet')),
+        q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id % 50 = 0),
+        probes AS (
+          SELECT vec_id, list_id FROM (
+            SELECT q.vec_id, cent.list_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.qe, cent.c) DESC,
+                              cent.list_id) AS pr
+            FROM q CROSS JOIN cent)
+          WHERE pr <= {nprobe}),
+        idx AS (
+          SELECT vec_id AS cand_id, list_id,
+                 CAST(embedding AS DOUBLE[]) AS ce
+          FROM read_parquet('{path}/pt=*/*.parquet',
+                            hive_partitioning = 1))
+        SELECT query_id, rank, vec_id FROM (
+          SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.qe, i.ce) DESC,
+                            i.cand_id) AS rank,
+                 i.cand_id AS vec_id
+          FROM q JOIN probes p ON q.vec_id = p.vec_id
+                 JOIN idx i ON i.list_id = p.list_id)
+        WHERE rank <= 10 ORDER BY query_id, rank"""
+
+
+def _ensure_ivf_oracle_index(sf_dir: str) -> str:
+    """Materialize the sf-gate IVF index WITHOUT Spark (numpy twin of
+    the builder) so oracle_sql() never depends on whether the driver ran
+    the Spark query first. Returns the index path."""
+    from geomesa_spark.ml.ivf import build_ivf_index_local
+    path = _idx_path("ivf1", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index_local(f"{sf_dir}/embeddings.parquet", path,
+                              list_partitions=16)
+    return path
+
+
 def _events_id_index(spark: SparkSession, sf_dir: str) -> str:
     """Key-ordered id index over the events points (IdIndex parity):
     the full record range-partitioned + sorted by event_id, so
@@ -295,7 +365,7 @@ def warm_index_tables(spark: SparkSession, sf_dir: str) -> None:
     """Materialize every persisted index table (ingest-time work) so
     query timings measure the query path, not one-time ingest."""
     for fn in (_events_xz2_table, _events_xz3_table, _events_s2_table,
-               _lsh_index_table, _events_id_index):
+               _lsh_index_table, _ivf_index_table, _events_id_index):
         fn(spark, sf_dir)
 
 
@@ -689,6 +759,25 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            n_planes=meta["n_planes"],
                            n_tables=meta["n_tables"], multiprobe=2,
                            bucket_partitions=meta["bucket_partitions"],
+                           meta=meta)
+    return out.select("query_id", "rank", "vec_id")
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 over the STORED inverted-list index
+    (sqrt(n) spherical-kmeans lists, nprobe=4) for the same query set as
+    ann_topk/lsh_topk. Unlike lsh_topk's exact-top-k oracle (a recall
+    gate), the DuckDB twin reads the SAME stored index and replicates
+    probing + ranking — verifying the distributed prune/join/rank
+    plumbing exactly while recall is asserted separately in pytest."""
+    from geomesa_spark.ml.ivf import ivf_topk_indexed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").cast("string").alias("query_id"), "embedding")
+    index, cents, meta = _ivf_index_table(spark, sf_dir)
+    out = ivf_topk_indexed(index, queries_df, 10, nprobe=_IVF_NPROBE,
+                           centroids=cents, seed=meta["seed"],
+                           list_partitions=meta["list_partitions"],
                            meta=meta)
     return out.select("query_id", "rank", "vec_id")
 
@@ -1106,6 +1195,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup_pairs": q_simhash_dedup_pairs,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "image_tile_counts": q_image_tile_counts,
         "image_tile_pyramid": q_image_tile_pyramid,
@@ -1734,6 +1824,14 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
               CROSS JOIN embeddings e)
             WHERE rank <= 10 ORDER BY query_id, rank""",
+        # ivf_topk oracle reads the SAME stored index (materialized by the
+        # numpy twin builder if the Spark query hasn't run yet) and
+        # replicates probe selection + candidate ranking — an exact check
+        # of the distributed plumbing at IVF's approximate recall.
+        "ivf_topk": _ivf_oracle_sql(
+            _ensure_ivf_oracle_index(os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")),
+            _IVF_NPROBE),
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

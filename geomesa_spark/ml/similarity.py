@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty query sets are legal: callers emit 0 results
+        return [], np.zeros((0, 0))
     ids = [r[0] for r in rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -48,6 +50,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bq.value
+        if not len(ids):
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -288,6 +292,8 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
     # SAME plane matrix as lsh_signatures — so the distributed plan has
     # zero Python evals (the cosine is pure Catalyst)
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
+    if not q_ids:
+        q_mat = np.zeros((0, dim))
     planes = np.random.default_rng(seed).standard_normal(
         (n_tables, dim, n_planes))
     weights = (1 << np.arange(n_planes, dtype=np.int64))
@@ -305,9 +311,10 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
     # pt literals prune partitions; bk literals push down to parquet
     # row-group stats (files are bk-sorted at build). Old-layout indexes
     # (partitioned by raw bk) prune directly on the bk filter.
-    flt = F.col("bk").isin(probe_vals)
-    if "pt" in index.columns:  # capped layout: must match the build's
-        flt = F.col("pt").isin(                # bucket_partitions
+    flt = (F.col("bk").isin(probe_vals) if probe_vals
+           else F.lit(False))  # empty query set probes nothing
+    if "pt" in index.columns and probe_vals:  # capped layout: must match
+        flt = F.col("pt").isin(               # the build's partitions
             sorted({int(bk) % bucket_partitions
                     for bk in probe_vals})) & flt
     cand_ids = (index.where(flt)

@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+# index-reading oracles (ivf_topk) must point at the same SF as the
+# queries; the driver's gate leaves this unset and gets its sf0.01 default
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

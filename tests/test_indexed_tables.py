@@ -161,3 +161,17 @@ class TestStoredLSH:
                 index, emb, queries, 5, n_planes=6, n_tables=8,
                 bucket_partitions=meta["bucket_partitions"] * 2,
                 meta=meta)
+
+    def test_empty_query_set_yields_empty_result(self, spark, entry):
+        from geomesa_spark.ml.similarity import lsh_topk_indexed
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        none = emb.where(F.lit(False)).select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            "embedding")
+        index, meta = entry._lsh_index_table(spark, SF)
+        out = lsh_topk_indexed(index, emb, none, 5,
+                               n_planes=meta["n_planes"],
+                               n_tables=meta["n_tables"],
+                               bucket_partitions=meta["bucket_partitions"],
+                               meta=meta)
+        assert out.count() == 0

@@ -13,6 +13,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# Index-backed oracles (ivf_topk) resolve their stored-index path from
+# this var; keep it pointed at the SF the views are registered on.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
