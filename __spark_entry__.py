@@ -695,6 +695,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp")
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-token fraction
+    + top-bigram share per doc and the drop flag a training pipeline
+    would act on."""
+    from geomesa_spark.text.analysis import repetition_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keeper id + group size."""
     from geomesa_spark.text.dedup import exact_dedup
@@ -1189,6 +1198,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_filter": q_repetition_filter,
         "exact_dedup": q_exact_dedup,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -1759,6 +1769,33 @@ def oracle_sql() -> dict[str, str]:
                    round(least(nt / 64.0, 1.0) * 0.4
                          + (1.0 - least(pr * 4.0, 1.0)) * 0.3
                          + least(sr * 5.0, 1.0) * 0.3, 6) AS q_score
+            FROM v ORDER BY doc_id""",
+        "repetition_filter": f"""
+            WITH t AS (
+              SELECT doc_id, toks, len(toks) AS nt,
+                     len(list_distinct(toks)) AS ndt
+              FROM {_TOKS_SQL}),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, nt - 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM t WHERE nt >= 2),
+            c AS (SELECT doc_id, bg, count(*) AS c
+                  FROM b GROUP BY doc_id, bg),
+            m AS (SELECT doc_id, max(c) AS topc FROM c GROUP BY doc_id),
+            v AS (
+              SELECT t.doc_id, nt,
+                     CASE WHEN nt > 0
+                          THEN 1.0 - ndt / CAST(nt AS DOUBLE)
+                          ELSE 0.0 END AS dupf,
+                     CASE WHEN nt >= 2
+                          THEN coalesce(topc, 0) / CAST(nt - 1 AS DOUBLE)
+                          ELSE 0.0 END AS tops
+              FROM t LEFT JOIN m ON t.doc_id = m.doc_id)
+            SELECT doc_id, nt AS rep_tokens,
+                   round(dupf, 6) AS rep_dup_token_frac,
+                   round(tops, 6) AS rep_top_bigram_share,
+                   (tops > 0.18 OR dupf > 0.6) AS rep_flagged
             FROM v ORDER BY doc_id""",
         "lang_id": f"""
             WITH h AS (

@@ -121,3 +121,51 @@ def fingerprint(df: DataFrame, text: str = "text",
 
 def token_count(text: str = "text") -> Column:
     return F.size(F.split(F.trim(F.lower(F.col(text))), TOKEN_RE))
+
+
+def repetition_features(df: DataFrame, *, id_col: str = "doc_id",
+                        text: str = "text",
+                        top_bigram_max: float = 0.18,
+                        dup_token_max: float = 0.6) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1,
+    the published web-corpus filtering recipe): per document,
+
+    - ``rep_dup_token_frac``  = 1 - distinct_tokens / tokens
+    - ``rep_top_bigram_share`` = occurrences of the most frequent token
+      bigram / total bigrams
+    - ``rep_flagged`` = either ratio above its threshold — the row a
+      training pipeline drops.
+
+    100 TB shape: the bigram mode is explode + a two-stage aggregate
+    ((doc, bigram) count with map-side partial combine, then a per-doc
+    max) — one well-spread shuffle keyed by (doc, bigram), no per-doc
+    O(L^2) scan, no driver collect. The per-token ratios never leave
+    whole-stage codegen."""
+    d = with_tokens(df, text)
+    n_tokens = F.size("tokens")
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(F.sequence(F.lit(1), n_tokens - 1),
+                    lambda i: F.concat_ws(" ", F.element_at("tokens", i),
+                                          F.element_at("tokens", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        F.col(id_col), n_tokens.alias("_nt"),
+        F.size(F.array_distinct("tokens")).alias("_ndt"),
+        F.explode_outer(bigrams).alias("_bg"))
+    top = (base.groupBy(id_col, "_nt", "_ndt", "_bg").count()
+           .groupBy(id_col, "_nt", "_ndt")
+           .agg(F.max(F.when(F.col("_bg").isNotNull(),
+                             F.col("count"))).alias("_top")))
+    dup_frac = F.when(F.col("_nt") > 0,
+                      1.0 - F.col("_ndt") / F.col("_nt")).otherwise(0.0)
+    top_share = F.when(F.col("_nt") >= 2,
+                       F.coalesce(F.col("_top"), F.lit(0))
+                       / (F.col("_nt") - 1)).otherwise(0.0)
+    return top.select(
+        F.col(id_col),
+        F.col("_nt").alias("rep_tokens"),
+        F.round(dup_frac, 6).alias("rep_dup_token_frac"),
+        F.round(top_share, 6).alias("rep_top_bigram_share"),
+        ((top_share > top_bigram_max)
+         | (dup_frac > dup_token_max)).alias("rep_flagged"))

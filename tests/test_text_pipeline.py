@@ -102,6 +102,43 @@ class TestAnalysis:
         fps = [r["fp"] for r in fingerprint(df).collect()]
         assert fps[0] != fps[1]
 
+    def test_repetition_features_laws(self, spark):
+        from geomesa_spark.text.analysis import repetition_features
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam spam spam"),  # one bigram repeated
+             (2, "the quick brown fox jumps high"),  # all distinct
+             (3, "go go stop go go stop go go"),     # partial repetition
+             (4, "single"),                          # no bigrams
+             (5, "a b")],                            # exactly one bigram
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+        assert got[1]["rep_tokens"] == 6
+        assert got[1]["rep_dup_token_frac"] == pytest.approx(5 / 6)
+        assert got[1]["rep_top_bigram_share"] == 1.0  # 5x "spam spam" / 5
+        assert got[1]["rep_flagged"] is True
+        assert got[2]["rep_dup_token_frac"] == 0.0
+        assert got[2]["rep_top_bigram_share"] == pytest.approx(1 / 5)
+        assert got[2]["rep_flagged"] is True  # 0.2 > 0.18 top-bigram gate
+        # doc 3: 8 tokens {go:5, stop:2}? -> distinct 2, dup = 6/8;
+        # top bigram "go go" appears 3 times of 7
+        assert got[3]["rep_dup_token_frac"] == pytest.approx(6 / 8)
+        assert got[3]["rep_top_bigram_share"] == pytest.approx(3 / 7)
+        assert got[3]["rep_flagged"] is True
+        assert got[4]["rep_tokens"] == 1
+        assert got[4]["rep_top_bigram_share"] == 0.0
+        assert got[4]["rep_flagged"] is False
+        assert got[5]["rep_top_bigram_share"] == 1.0
+        assert got[5]["rep_flagged"] is True
+
+    def test_repetition_share_below_thresholds_not_flagged(self, spark):
+        from geomesa_spark.text.analysis import repetition_features
+        text = " ".join(f"w{i}" for i in range(50))  # 49 distinct bigrams
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = repetition_features(df).collect()[0]
+        assert r["rep_dup_token_frac"] == 0.0
+        assert r["rep_top_bigram_share"] == pytest.approx(1 / 49, abs=1e-6)
+        assert r["rep_flagged"] is False
+
 
 class TestDedup:
     def test_exact_dedup(self, docs, local_docs):
