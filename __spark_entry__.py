@@ -853,6 +853,46 @@ def q_image_brightness(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum("n_px").cast("double")).alias("avg_brightness")))
 
 
+def _n_audio(sf_dir: str) -> int:
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    return max(100, int(1_000_000 * sf) // 100)
+
+
+def _n_videos(sf_dir: str) -> int:
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    return max(60, int(1_000_000 * sf) // 160)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature-extract stage over the deterministic PCM fixture
+    (duration, RMS, peak, zero-cross rate). Value-checked end-to-end:
+    the fixture PCM is counter-mode sha256 (media_fixtures.reference_pcm)
+    so the DuckDB oracle regenerates every sample and reproduces each
+    feature as an exact integer sum divided once (IEEE-identical)."""
+    from geomesa_spark.raster.media import audio_features
+    from geomesa_spark.raster.media_fixtures import audio_df
+    clips = audio_df(spark, _n_audio(sf_dir))
+    return audio_features(clips).select(
+        "media_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"))
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling stage (every 2nd frame) + per-frame mean
+    value over the deterministic video fixture — the sha256 pixel
+    construction makes the sampled-frame statistics SQL-regenerable
+    bit-exactly (same pattern as image_brightness)."""
+    from geomesa_spark.raster.media import frame_stats, sample_frames
+    from geomesa_spark.raster.media_fixtures import videos_df
+    vids = videos_df(spark, _n_videos(sf_dir))
+    return frame_stats(sample_frames(vids, every=2)).select(
+        "media_id", "frame_idx",
+        F.round("mean_value", 6).alias("mean_value"))
+
+
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality-score filter
     -> exact dedup (min-id keeper) -> join embeddings -> per-language
@@ -1210,6 +1250,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tile_counts": q_image_tile_counts,
         "image_tile_pyramid": q_image_tile_pyramid,
         "image_brightness": q_image_brightness,
+        "audio_features": q_audio_features,
+        "video_frame_stats": q_video_frame_stats,
         "training_pipeline": q_training_pipeline,
         "stats_sketches": q_stats_sketches,
         "density_footprint": q_density_footprint,
@@ -1358,6 +1400,68 @@ def _image_brightness_sql() -> str:
                CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                  AS avg_brightness
         FROM dec GROUP BY fmt ORDER BY fmt"""
+
+
+def _audio_features_sql() -> str:
+    """SQL twin of q_audio_features: regenerates every PCM sample of
+    every fixture clip (counter-mode sha256 words % 4001 - 2000,
+    media_fixtures.reference_pcm) and reproduces each feature as an
+    exact integer sum / count divided once — bit-identical IEEE."""
+    return """
+        WITH clips AS (
+          SELECT i, 800 + (i % 5) * 400 AS n
+          FROM range(0, 1000000) t(i)
+          WHERE i < greatest(100, (SELECT count(*) FROM events) // 100)),
+        blocks AS (
+          SELECT i, n, b, sha256('au-' || i || '-' || b) AS hx
+          FROM clips CROSS JOIN generate_series(0, 149) AS g(b)
+          WHERE b < (n + 15) // 16),
+        vals AS (
+          SELECT i, n, b*16 + j AS k,
+                 ('0x' || substr(hx, j*4 + 1, 4))::INT % 4001 - 2000 AS v
+          FROM blocks CROSS JOIN generate_series(0, 15) AS gj(j)
+          WHERE b*16 + j < n),
+        lagged AS (
+          SELECT *, lag(v) OVER (PARTITION BY i ORDER BY k) AS prev
+          FROM vals),
+        feat AS (
+          SELECT i, any_value(n) AS n, sum(v*v) AS ss,
+                 max(abs(v)) AS peak,
+                 count(*) FILTER (WHERE prev IS NOT NULL
+                                  AND (v < 0) <> (prev < 0)) AS zc
+          FROM lagged GROUP BY i)
+        SELECT printf('au-%012d', i) AS media_id,
+               round(n / 8000.0, 6) AS duration_s,
+               round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms,
+               CAST(peak AS INT) AS peak,
+               round(CAST(zc AS DOUBLE) / (n - 1), 6) AS zero_cross_rate
+        FROM feat ORDER BY media_id"""
+
+
+def _video_frame_stats_sql() -> str:
+    """SQL twin of q_video_frame_stats: regenerates the sampled frames'
+    pixels (sha256 words % 256, media_fixtures.reference_video; sample k
+    belongs to frame k // (h*w*3)) and divides the exact per-frame
+    integer sum once."""
+    return """
+        WITH clips AS (
+          SELECT i, 4 + i % 3 AS nf, 8 + (i % 2) * 8 AS w, 8 AS h
+          FROM range(0, 1000000) t(i)
+          WHERE i < greatest(60, (SELECT count(*) FROM events) // 160)),
+        blocks AS (
+          SELECT i, nf, w, h, b, sha256('vx-' || i || '-' || b) AS hx
+          FROM clips CROSS JOIN generate_series(0, 143) AS g(b)
+          WHERE b < (nf*h*w*3 + 15) // 16),
+        vals AS (
+          SELECT i, (b*16 + j) // (h*w*3) AS frame,
+                 ('0x' || substr(hx, j*4 + 1, 4))::INT % 256 AS v
+          FROM blocks CROSS JOIN generate_series(0, 15) AS gj(j)
+          WHERE b*16 + j < nf*h*w*3)
+        SELECT printf('vid-%012d', i) AS media_id,
+               CAST(frame AS INT) AS frame_idx,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value
+        FROM vals WHERE frame % 2 = 0
+        GROUP BY i, frame ORDER BY media_id, frame_idx"""
 
 
 def _route_search_sql() -> str:
@@ -2051,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT comp AS keeper, count(*) AS n_members
             FROM final GROUP BY comp ORDER BY keeper""",
         "image_brightness": _image_brightness_sql(),
+        "audio_features": _audio_features_sql(),
+        "video_frame_stats": _video_frame_stats_sql(),
         "id_lookup": f"""
             SELECT event_id, event_type, value, lon, lat FROM {pts}
             WHERE event_id IN ({", ".join(map(str, _ID_LOOKUP_IDS))})

@@ -98,6 +98,29 @@ def sample_frames(videos: DataFrame, *, every: int = 2,
     return videos.select(*cols).mapInPandas(sample, out_schema)
 
 
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-frame statistics over sampled raw-RGB frames (the inspection
+    stage after `sample_frames`): mean value over all bytes — the exact
+    integer pixel sum divided once, so a SQL oracle that regenerates the
+    pixels reproduces the double bit-exactly. One mapInPandas pass,
+    no shuffle."""
+    out_schema = "media_id string, frame_idx int, mean_value double"
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(bytes(r.frame), dtype=np.uint8)
+                rows.append((r.media_id, r.frame_idx,
+                             int(px.sum()) / len(px) if len(px) else 0.0))
+            if rows:
+                yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                                  "mean_value"])
+
+    return frames.select("media_id", "frame_idx", "frame") \
+        .mapInPandas(stats, out_schema)
+
+
 def audio_features(audio: DataFrame) -> DataFrame:
     """Per-clip PCM features: duration, RMS level, peak, zero-crossing
     rate — the audio feature-extract stage (numpy per clip, Arrow

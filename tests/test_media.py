@@ -78,3 +78,44 @@ class TestAudioFeatures:
         assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(f ** 2))))
         assert r["peak"] == int(np.abs(f).max())
         assert 0.0 < r["zero_cross_rate"] < 1.0
+
+
+class TestDeterministicFixtures:
+    """The driver-gate fixtures (media_fixtures.py): SQL-regenerable
+    counter-mode sha256 samples, distributed synthesis."""
+
+    def test_pcm_deterministic_and_bounded(self):
+        from geomesa_spark.raster.media_fixtures import (audio_samples,
+                                                         reference_pcm)
+        a, b = reference_pcm(7), reference_pcm(7)
+        assert np.array_equal(a, b)
+        assert len(a) == audio_samples(7)
+        assert a.min() >= -2000 and a.max() <= 2000
+
+    def test_video_deterministic_shape(self):
+        from geomesa_spark.raster.media_fixtures import (reference_video,
+                                                         video_frames)
+        v = reference_video(5)
+        n, w, h = video_frames(5)
+        assert v.shape == (n, h, w, 3)
+        assert np.array_equal(v, reference_video(5))
+
+    def test_audio_df_roundtrip(self, spark):
+        from geomesa_spark.raster.media_fixtures import (audio_df,
+                                                         reference_pcm)
+        rows = {r["media_id"]: r for r in audio_df(spark, 8).collect()}
+        assert len(rows) == 8
+        pcm = decode_audio(bytes(rows["au-000000000003"]["bytes"]))
+        assert np.array_equal(pcm, reference_pcm(3))
+
+    def test_frame_stats_exact_division(self, spark):
+        from geomesa_spark.raster.media import frame_stats
+        from geomesa_spark.raster.media_fixtures import (reference_video,
+                                                         videos_df)
+        vids = videos_df(spark, 4)
+        out = {(r["media_id"], r["frame_idx"]): r["mean_value"]
+               for r in frame_stats(sample_frames(vids, every=2)).collect()}
+        v = reference_video(2)
+        f0 = v[0].astype(np.int64)
+        want = int(f0.sum()) / f0.size
+        assert out[("vid-000000000002", 0)] == want  # bit-exact, no approx
