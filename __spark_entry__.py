@@ -75,13 +75,18 @@ def _ensure_workers(spark: SparkSession) -> None:
     _SHIPPED.add(id(spark))
 
 
+def lonlat_cols(id_col: str = "event_id"):
+    """The fixture's derived-coordinate recipe — the single source of
+    truth shared by every query, the skew bench, and (as SQL text) the
+    DuckDB oracles."""
+    return (((F.col(id_col) * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col(id_col) * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
+
+
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.select(
-        "event_id", "event_type", "value",
-        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
-        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
-    )
+    return ev.select("event_id", "event_type", "value",
+                     *lonlat_cols())
 
 
 def _events_points_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,11 +94,8 @@ def _events_points_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id, so spatio-temporal queries never need the events<->points
     self-join (which would cost a shuffle for derivable columns)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.select(
-        "event_id", "ts", "event_type", "value",
-        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
-        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
-    )
+    return ev.select("event_id", "ts", "event_type", "value",
+                     *lonlat_cols())
 
 
 def _regions() -> list[tuple[str, float, float, float, float]]:
@@ -176,8 +178,15 @@ def _idx_path(kind: str, sf_dir: str) -> str:
     return os.path.join(_CACHE_ROOT, f"{kind}_{tag}")
 
 
-def _ensure_table(path: str, build: Callable[[str], None]) -> str:
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+def _ensure_table(path: str, build: Callable[[str], None],
+                  extra_files: tuple[str, ...] = ()) -> str:
+    """Build-once cache. ``extra_files`` lists sidecars written AFTER the
+    parquet commit (Spark stamps _SUCCESS before the driver writes them):
+    a build interrupted in that window leaves _SUCCESS without sidecars,
+    so readiness must require both or the poisoned cache never heals."""
+    ready = os.path.exists(os.path.join(path, "_SUCCESS")) and all(
+        os.path.exists(os.path.join(path, f)) for f in extra_files)
+    if not ready:
         build(path)
     return path
 
@@ -262,7 +271,8 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
     drowning in file listing; a real 10^12-vector build sizes
     bucket_partitions to cluster write parallelism and the sidecar keeps
     queries honest either way."""
-    from geomesa_spark.ml.similarity import (build_lsh_index,
+    from geomesa_spark.ml.similarity import (_LSH_META_FILE,
+                                             build_lsh_index,
                                              default_n_planes,
                                              load_lsh_index)
 
@@ -274,7 +284,8 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
                         n_tables=8, bucket_partitions=16)
 
     return load_lsh_index(spark, _ensure_table(_idx_path("lsh4", sf_dir),
-                                               build))
+                                               build,
+                                               (_LSH_META_FILE,)))
 
 
 _IVF_NPROBE = 4
@@ -287,14 +298,16 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str):
     Built once at ingest like the LSH index; the oracle's numpy twin
     builder may also have materialized it — query and oracle read the
     same stored files either way."""
-    from geomesa_spark.ml.ivf import build_ivf_index, load_ivf_index
+    from geomesa_spark.ml.ivf import (_IVF_CENTROID_FILE, _IVF_META_FILE,
+                                      build_ivf_index, load_ivf_index)
 
     def build(p: str) -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         build_ivf_index(emb, p, list_partitions=16)
 
-    return load_ivf_index(spark, _ensure_table(_idx_path("ivf1", sf_dir),
-                                               build))
+    return load_ivf_index(spark, _ensure_table(
+        _idx_path("ivf1", sf_dir), build,
+        (_IVF_META_FILE, _IVF_CENTROID_FILE)))
 
 
 def _ivf_oracle_sql(path: str, nprobe: int) -> str:
@@ -339,12 +352,30 @@ def _ensure_ivf_oracle_index(sf_dir: str) -> str:
     """Materialize the sf-gate IVF index WITHOUT Spark (numpy twin of
     the builder) so oracle_sql() never depends on whether the driver ran
     the Spark query first. Returns the index path."""
-    from geomesa_spark.ml.ivf import build_ivf_index_local
+    from geomesa_spark.ml.ivf import (_IVF_CENTROID_FILE, _IVF_META_FILE,
+                                      build_ivf_index_local)
     path = _idx_path("ivf1", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    ready = all(os.path.exists(os.path.join(path, f)) for f in
+                ("_SUCCESS", _IVF_META_FILE, _IVF_CENTROID_FILE))
+    if not ready:
         build_ivf_index_local(f"{sf_dir}/embeddings.parquet", path,
                               list_partitions=16)
     return path
+
+
+def _ivf_oracle_entry() -> dict[str, str]:
+    """ivf_topk is the ONE oracle coupled to the environment (it reads
+    the stored index from disk rather than the registered views). If the
+    index can't be materialized — fixtures absent, cache dir read-only —
+    degrade THAT entry to rows-only instead of taking down oracle
+    retrieval for every other query."""
+    try:
+        return {"ivf_topk": _ivf_oracle_sql(
+            _ensure_ivf_oracle_index(os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")),
+            _IVF_NPROBE)}
+    except Exception:
+        return {}
 
 
 def _events_id_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1969,10 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         # numpy twin builder if the Spark query hasn't run yet) and
         # replicates probe selection + candidate ranking — an exact check
         # of the distributed plumbing at IVF's approximate recall.
-        "ivf_topk": _ivf_oracle_sql(
-            _ensure_ivf_oracle_index(os.environ.get(
-                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")),
-            _IVF_NPROBE),
+        **_ivf_oracle_entry(),
         "embedding_near_dup": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -83,12 +83,13 @@ def cell_share(spark, path: str) -> float:
 
 
 def _uniform_points(spark, n: int):
-    """Deterministic uniform world points (the events-points recipe)."""
+    """Deterministic uniform world points (the events-points recipe,
+    shared via __spark_entry__.lonlat_cols — one source of truth)."""
     from pyspark.sql import functions as F
-    return spark.range(n).select(
-        F.col("id").alias("point_id"),
-        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
-        ((F.col("id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"))
+
+    from __spark_entry__ import lonlat_cols
+    return spark.range(n).select(F.col("id").alias("point_id"),
+                                 *lonlat_cols("id"))
 
 
 def _region_rows(hot: bool, n_regions: int):

@@ -129,7 +129,13 @@ def read_ivf_meta(path: str) -> dict | None:
 
 def read_ivf_centroids(path: str) -> np.ndarray:
     import pyarrow.parquet as pq
-    tbl = pq.read_table(os.path.join(path, _IVF_CENTROID_FILE))
+    p = os.path.join(path, _IVF_CENTROID_FILE)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"IVF index at {path} has no centroid sidecar — the build "
+            f"was interrupted after the parquet commit. Delete the "
+            f"directory and rebuild (build_ivf_index).")
+    tbl = pq.read_table(p)
     order = np.argsort(tbl["list_id"].to_numpy())
     return np.stack(tbl["centroid"].to_numpy()[order])
 
@@ -143,12 +149,14 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray,
 
 def train_centroids(corpus: DataFrame, n_centroids: int, *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    seed: int = 11,
-                    sample_cap: int = 100_000) -> np.ndarray:
+                    seed: int = 11, sample_cap: int = 100_000,
+                    n_rows: int | None = None) -> np.ndarray:
     """Coarse quantizer from a deterministic pushed-down sample:
     ``id % stride == 0`` reaches the parquet scan, so training a
-    10^12-row corpus reads ~``sample_cap`` rows, not the corpus."""
-    n = corpus.count()
+    10^12-row corpus reads ~``sample_cap`` rows, not the corpus.
+    Pass ``n_rows`` when the caller already counted — a second full
+    count job at corpus scale is minutes of wasted wall."""
+    n = corpus.count() if n_rows is None else n_rows
     stride = max(1, n // max(sample_cap, n_centroids * 4))
     sample = corpus.where(F.col(id_col) % stride == 0) \
         .select(vec_col).toPandas()
@@ -169,11 +177,12 @@ def build_ivf_index(corpus: DataFrame, path: str, *,
     ``list_partitions`` ~ cluster write parallelism (same capped-fan-out
     lesson as the LSH index: one directory per raw list drowns small
     scans in file listing)."""
+    n_rows = corpus.count()
     if n_centroids is None:
-        n_centroids = default_n_centroids(corpus.count())
+        n_centroids = default_n_centroids(n_rows)
     cents = train_centroids(corpus, n_centroids, vec_col=vec_col,
                             id_col=id_col, seed=seed,
-                            sample_cap=sample_cap)
+                            sample_cap=sample_cap, n_rows=n_rows)
 
     @F.pandas_udf("int")
     def nearest_list(v: pd.Series) -> pd.Series:
@@ -318,11 +327,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     quantizer, assigns the corpus on the fly with the same pandas UDF
     math, and restricts to the probed lists — result-identical to
     building then querying the stored index with the same parameters."""
+    n_rows = corpus.count()
     if n_centroids is None:
-        n_centroids = default_n_centroids(corpus.count())
+        n_centroids = default_n_centroids(n_rows)
     cents = train_centroids(corpus, n_centroids, vec_col=vec_col,
                             id_col=id_col, seed=seed,
-                            sample_cap=sample_cap)
+                            sample_cap=sample_cap, n_rows=n_rows)
 
     @F.pandas_udf("int")
     def nearest_list(v: pd.Series) -> pd.Series:

@@ -74,9 +74,10 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
         labels = jumped
         if changed == 0:
             return labels
+    last = changed if max_iter > 0 else "n/a (no rounds ran)"
     raise RuntimeError(
         f"connected_components did not converge within {max_iter} rounds "
-        f"(last round changed {changed} labels); raise max_iter")
+        f"(last round changed {last} labels); raise max_iter")
 
 
 def dedup_clusters(edges: DataFrame, *, a: str = "a", b: str = "b",

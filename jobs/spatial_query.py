@@ -67,7 +67,14 @@ def main() -> None:
         col, val = a.split("=", 1)
         parts.append(Attr(col, "=", val))
     if args.ids:
-        parts.append(Attr(args.id_col, "in", args.ids.split(",")))
+        # keep the IN literals the column's type: string literals against
+        # a numeric id column cast the COLUMN, defeating the sargable
+        # row-group pruning the id index exists for
+        toks = args.ids.split(",")
+        vals = ([int(t) for t in toks]
+                if all(t.strip().lstrip("-").isdigit() for t in toks)
+                else toks)
+        parts.append(Attr(args.id_col, "in", vals))
     if not parts:
         raise SystemExit("no predicates; pass --bbox/--t0/--attr/--ids")
     f = parts[0] if len(parts) == 1 else and_(*parts)

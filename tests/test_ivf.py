@@ -109,6 +109,33 @@ class TestStoredIndex:
                              list_partitions=meta["list_partitions"] + 1,
                              meta=meta)
 
+    def test_interrupted_build_heals(self, entry, stored, tmp_path):
+        """Spark stamps _SUCCESS before the driver writes the sidecars; a
+        kill in that window must not poison the cache forever — the
+        readiness check requires the sidecars too. (Exercised on a COPY:
+        rebuilding the shared cache under the module fixture would leave
+        other tests reading deleted files.)"""
+        import os
+        import shutil
+        from geomesa_spark.ml.ivf import (_IVF_CENTROID_FILE,
+                                          _IVF_META_FILE)
+        src = entry._idx_path("ivf1", SF)
+        dst = str(tmp_path / "ivf")
+        shutil.copytree(src, dst)
+        os.remove(os.path.join(dst, _IVF_META_FILE))  # interrupted window
+        calls = []
+
+        def build(p):
+            calls.append(p)
+            shutil.rmtree(p)
+            shutil.copytree(src, p)
+
+        sidecars = (_IVF_META_FILE, _IVF_CENTROID_FILE)
+        entry._ensure_table(dst, build, sidecars)
+        assert calls == [dst]  # healed: _SUCCESS alone is not readiness
+        entry._ensure_table(dst, build, sidecars)
+        assert calls == [dst]  # a complete index is not rebuilt
+
     def test_empty_query_set_yields_empty_result(self, stored, queries):
         from geomesa_spark.ml.ivf import ivf_topk_indexed
         index, cents, meta = stored

@@ -4,9 +4,12 @@ sf0.1 fixtures (VERDICT r03 #7: per-query walls at sf0.1 are dominated by
 per-job constants and ±35% host noise; a ≥5x fixture separates data-bound
 walls from overhead-bound ones).
 
-events/documents/embeddings replicate K times with id offsets (ids feed
-the derived lon/lat and the dedup/ANN fixtures, so each replica is new
-data, not a duplicate); the TPC-H relational tables are copied unscaled —
+events replicate K times with id offsets (ids feed the derived lon/lat,
+so each replica is new spatial data); documents get a deterministic
+per-replica word permutation and embeddings a per-replica orthogonal
+coordinate roll, so text/vector replicas are genuinely new corpora (not
+K-way exact duplicates that would inflate the dedup/ANN queries ~K^2);
+the TPC-H relational tables are copied unscaled —
 they only back the two relational sanity queries, which are not the
 headline. The image fixture scales automatically: the image count derives
 from the events row count (``_n_images``).
@@ -51,7 +54,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
 
-    def replicate(table: str, id_cols: list[str]) -> None:
+    def replicate(table: str, id_cols: list[str],
+                  transform=None) -> None:
         df = spark.read.parquet(f"{SRC}/{table}.parquet")
         base = df.count()
         ks = spark.range(args.factor).withColumnRenamed("id", "__k__")
@@ -59,13 +63,49 @@ def main() -> None:
         for c in id_cols:
             big = big.withColumn(
                 c, F.col(c) + F.col("__k__") * F.lit(int(base)))
+        if transform is not None:
+            big = transform(big)
         big.drop("__k__").write.mode("overwrite") \
             .parquet(f"{out}/{table}.parquet")
         print(f"{table}: {base} -> {base * args.factor}")
 
+    # Verbatim replicas would make every document / embedding an exact
+    # K-way duplicate: the dedup queries would measure duplication
+    # pathology (~K^2 pair inflation), not K-times-the-data scaling.
+    # Replica k > 0 therefore gets genuinely-new payloads that preserve
+    # the marginal statistics:
+    # - documents: a deterministic per-(doc, k) word permutation — token
+    #   multiset, length, and language markers unchanged; 3-gram shingle
+    #   sets destroyed, so no cross-replica near-dups.
+    # - embeddings: a cyclic coordinate roll of (k*17) % dim — an
+    #   orthogonal transform, so every WITHIN-replica cosine (and each
+    #   replica's planted near-dup structure) is preserved exactly while
+    #   cross-replica cosines are random-level.
+    def perm_text(big):
+        shuffled = F.array_join(
+            F.transform(
+                F.array_sort(F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.struct(
+                        F.xxhash64(t, F.col("doc_id"), F.col("__k__"))
+                        .alias("h"), t.alias("t")))),
+                lambda s: s["t"]), " ")
+        return big.withColumn(
+            "text", F.when(F.col("__k__") == 0,
+                           F.col("text")).otherwise(shuffled))
+
+    def roll_embedding(big):
+        dim = F.size("embedding")
+        shift = (F.col("__k__") * 17) % dim
+        rolled = F.concat(F.slice("embedding", shift + 1, dim - shift),
+                          F.slice("embedding", F.lit(1), shift))
+        return big.withColumn(
+            "embedding", F.when(F.col("__k__") == 0,
+                                F.col("embedding")).otherwise(rolled))
+
     replicate("events", ["event_id"])
-    replicate("documents", ["doc_id"])
-    replicate("embeddings", ["vec_id"])
+    replicate("documents", ["doc_id"], transform=perm_text)
+    replicate("embeddings", ["vec_id"], transform=roll_embedding)
     for t in COPY_TABLES:
         src, dst = f"{SRC}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.isdir(src):
