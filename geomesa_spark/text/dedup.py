@@ -241,7 +241,10 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     # when this frame goes out of scope — repeated calls (bench loops)
     # don't accumulate executor storage for the session lifetime
     sh_base = shingles(df, n=n, text=text).select(
-        F.col(id_col), "shingles").localCheckpoint()
+        F.col(id_col), "shingles",
+        F.transform("shingles",
+                    lambda s: F.crc32(F.encode(s, "UTF-8"))).alias("_hsh")
+    ).localCheckpoint()
     sig = _signatures_from_shingles(sh_base, k=k, id_col=id_col, seed=seed)
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -255,11 +258,29 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     cand = (left.join(right, "bd")
             .where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
+    # Hashed pre-verify: boilerplate-heavy corpora have a high BACKGROUND
+    # Jaccard (hot shingles live in most docs), so band candidates vastly
+    # outnumber real pairs — measured 18.9M candidates for 257 pairs at
+    # SF=0.5, with the exact string intersect taking ~70% of the wall.
+    # The crc32 long arrays (one JVM pass, 2.5x smaller than the strings,
+    # ~5x cheaper to intersect) give a Jaccard within +-2c/|union| of the
+    # exact value for c within-pair collisions (P(c>=1) ~ 1e-4 per pair,
+    # P(c>=3) astronomically small), so the 0.05 slack can only ADMIT
+    # extra pairs into the exact verify, never drop a true one.
+    ha = sh_base.select(F.col(id_col).alias("a"),
+                        F.col("_hsh").alias("_ha"))
+    hb = sh_base.select(F.col(id_col).alias("b"),
+                        F.col("_hsh").alias("_hb"))
+    hcommon = F.size(F.array_intersect("_ha", "_hb"))
+    hjac = hcommon / (F.size("_ha") + F.size("_hb") - hcommon)
+    pre = (cand.join(ha, "a").join(hb, "b")
+           .where(hjac >= threshold - 0.05)
+           .select("a", "b"))
     pa = sh_base.select(F.col(id_col).alias("a"),
                         F.col("shingles").alias("_sa"))
     pb = sh_base.select(F.col(id_col).alias("b"),
                         F.col("shingles").alias("_sb"))
-    joined = cand.join(pa, "a").join(pb, "b")
+    joined = pre.join(pa, "a").join(pb, "b")
     common = F.size(F.array_intersect("_sa", "_sb"))
     jac = common / (F.size("_sa") + F.size("_sb") - common)
     return (joined.select("a", "b", F.round(jac, 6).alias("jaccard"))
