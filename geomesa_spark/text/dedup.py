@@ -382,11 +382,15 @@ def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
                      F.col("_fp").alias("_ha"), "ck")
     right = ex.select(F.col("_id").alias("b"),
                       F.col("_fp").alias("_hb"), "ck")
-    cand = (left.join(right, "ck").where(F.col("a") < F.col("b"))
-            .select("a", "b", "_ha", "_hb").distinct())
+    # verify BEFORE the dedup shuffle: bit_count is row-local codegen, so
+    # filtering first means the distinct() only shuffles true pairs (each
+    # duplicated <= n_chunks times), not every chunk collision — on a
+    # high-background-similarity corpus that is orders of magnitude less.
     dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (cand.select("a", "b", dist.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    return (left.join(right, "ck").where(F.col("a") < F.col("b"))
+            .select("a", "b", dist.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
