@@ -44,3 +44,40 @@ def test_shipped_artifact_has_both_sections():
         d = json.load(f)
     assert "efficiency" in d, "scaling section missing"
     assert "skew" in d and "pass_1p3x" in d["skew"], "skew section missing"
+
+
+class TestBigSfTransforms:
+    """make_big_sf replica payloads must be genuinely new data, not
+    verbatim duplicates (verbatim replicas inflate dedup pairs ~K^2)."""
+
+    def test_perm_text_preserves_token_multiset(self, spark):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from make_big_sf import perm_text
+        from pyspark.sql import functions as F
+        rows = [(1, "the quick brown fox jumps over the lazy dog", k)
+                for k in range(3)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, __k__ long")
+        out = {r["__k__"]: r["text"] for r in perm_text(df).collect()}
+        assert out[0] == rows[0][1]  # replica 0 untouched
+        for k in (1, 2):
+            assert out[k] != rows[0][1]  # permuted
+            assert sorted(out[k].split(" ")) == sorted(rows[0][1].split(" "))
+        assert out[1] != out[2]  # distinct permutations per replica
+
+    def test_roll_embedding_orthogonal(self, spark):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from make_big_sf import roll_embedding
+        vec = [float(i) for i in range(64)]
+        df = spark.createDataFrame(
+            [(1, vec, 0), (2, vec, 1)],
+            "vec_id long, embedding array<double>, __k__ long")
+        out = {r["__k__"]: r["embedding"]
+               for r in roll_embedding(df).collect()}
+        assert out[0] == vec                       # replica 0 untouched
+        assert sorted(out[1]) == vec               # a permutation
+        assert out[1] == vec[17:] + vec[:17]       # the documented roll

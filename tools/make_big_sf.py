@@ -31,6 +31,47 @@ SRC = "/root/testdata/sf0.1"
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part",
                "orders", "lineitem")
 
+# Verbatim replicas would make every document / embedding an exact K-way
+# duplicate: the dedup queries would measure duplication pathology
+# (~K^2 pair inflation), not K-times-the-data scaling. Replica k > 0
+# therefore gets genuinely-new payloads that preserve the marginal
+# statistics:
+# - documents: a deterministic per-(doc, k) word permutation — token
+#   multiset, length, and language markers unchanged; 3-gram shingle
+#   sets destroyed, so no cross-replica near-dups.
+# - embeddings: a cyclic coordinate roll of (k*17) % dim — an orthogonal
+#   transform, so every WITHIN-replica cosine (and each replica's
+#   planted near-dup structure) is preserved exactly while cross-replica
+#   cosines are random-level.
+
+
+def perm_text(big):
+    """Deterministic per-(doc_id, __k__) word permutation of `text`."""
+    from pyspark.sql import functions as F
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.struct(
+                    F.xxhash64(t, F.col("doc_id"), F.col("__k__"))
+                    .alias("h"), t.alias("t")))),
+            lambda s: s["t"]), " ")
+    return big.withColumn(
+        "text", F.when(F.col("__k__") == 0,
+                       F.col("text")).otherwise(shuffled))
+
+
+def roll_embedding(big):
+    """Cyclic (__k__ * 17) % dim coordinate roll of `embedding`."""
+    from pyspark.sql import functions as F
+    dim = F.size("embedding")
+    shift = (F.col("__k__") * 17) % dim
+    rolled = F.concat(F.slice("embedding", shift + 1, dim - shift),
+                      F.slice("embedding", F.lit(1), shift))
+    return big.withColumn(
+        "embedding", F.when(F.col("__k__") == 0,
+                            F.col("embedding")).otherwise(rolled))
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -68,40 +109,6 @@ def main() -> None:
         big.drop("__k__").write.mode("overwrite") \
             .parquet(f"{out}/{table}.parquet")
         print(f"{table}: {base} -> {base * args.factor}")
-
-    # Verbatim replicas would make every document / embedding an exact
-    # K-way duplicate: the dedup queries would measure duplication
-    # pathology (~K^2 pair inflation), not K-times-the-data scaling.
-    # Replica k > 0 therefore gets genuinely-new payloads that preserve
-    # the marginal statistics:
-    # - documents: a deterministic per-(doc, k) word permutation — token
-    #   multiset, length, and language markers unchanged; 3-gram shingle
-    #   sets destroyed, so no cross-replica near-dups.
-    # - embeddings: a cyclic coordinate roll of (k*17) % dim — an
-    #   orthogonal transform, so every WITHIN-replica cosine (and each
-    #   replica's planted near-dup structure) is preserved exactly while
-    #   cross-replica cosines are random-level.
-    def perm_text(big):
-        shuffled = F.array_join(
-            F.transform(
-                F.array_sort(F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.struct(
-                        F.xxhash64(t, F.col("doc_id"), F.col("__k__"))
-                        .alias("h"), t.alias("t")))),
-                lambda s: s["t"]), " ")
-        return big.withColumn(
-            "text", F.when(F.col("__k__") == 0,
-                           F.col("text")).otherwise(shuffled))
-
-    def roll_embedding(big):
-        dim = F.size("embedding")
-        shift = (F.col("__k__") * 17) % dim
-        rolled = F.concat(F.slice("embedding", shift + 1, dim - shift),
-                          F.slice("embedding", F.lit(1), shift))
-        return big.withColumn(
-            "embedding", F.when(F.col("__k__") == 0,
-                                F.col("embedding")).otherwise(rolled))
 
     replicate("events", ["event_id"])
     replicate("documents", ["doc_id"], transform=perm_text)
