@@ -1578,12 +1578,15 @@ _SHINGLES_SQL = f"""
      FROM {_TOKS_SQL})"""
 
 
-def _jaccard_pairs_sql(threshold: float) -> str:
-    # the audit-sample cap mirrors q_ngram_dedup_pairs (no-op <= sf0.1)
+def _jaccard_pairs_sql(threshold: float, cap: int | None = None) -> str:
+    # `cap` mirrors q_ngram_dedup_pairs' audit-sample bound (no-op at the
+    # <= sf0.1 gates). The minhash oracle must stay UNCAPPED: its Spark
+    # side runs over the full corpus.
+    cap_sql = f"WHERE doc_id < {cap}" if cap is not None else ""
     return f"""
         WITH e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
                    FROM {_SHINGLES_SQL}
-                   WHERE doc_id < {_NGRAM_EXACT_CAP})
+                   {cap_sql})
         SELECT a, b, jaccard FROM (
           SELECT ea.doc_id AS a, eb.doc_id AS b,
                  round(count(*) / CAST(ea.n + eb.n - count(*) AS DOUBLE),
@@ -1979,7 +1982,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
             ORDER BY doc_id""",
-        "ngram_dedup_pairs": _jaccard_pairs_sql(0.3),
+        "ngram_dedup_pairs": _jaccard_pairs_sql(0.3,
+                                                cap=_NGRAM_EXACT_CAP),
         "minhash_dedup_pairs": _jaccard_pairs_sql(0.5),
         "ann_topk": """
             SELECT query_id, rank, vec_id FROM (

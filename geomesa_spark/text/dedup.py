@@ -178,7 +178,8 @@ def _minhash_coeffs(k: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 def _signatures_from_shingles(sh: DataFrame, *, k: int,
                               id_col: str = "doc_id",
-                              seed: int = 7) -> DataFrame:
+                              seed: int = 7,
+                              hashed_col: str | None = None) -> DataFrame:
     """k-wide signatures computed ROW-WISE in one Arrow-vectorized kernel
     (k x n_shingles matrix min per doc) — no explode, no shuffle: the
     k-permutation min is per-document math, so turning it into k wide
@@ -204,8 +205,11 @@ def _signatures_from_shingles(sh: DataFrame, *, k: int,
             out.append(sig.tolist())
         return pd.Series(out)
 
-    hashed = F.transform(F.col("shingles"),
-                         lambda s: F.crc32(F.encode(s, "UTF-8")))
+    # reuse a caller-materialized crc32 column when present (minhash_pairs
+    # checkpoints one) instead of re-hashing every shingle string
+    hashed = (F.col(hashed_col) if hashed_col is not None
+              else F.transform(F.col("shingles"),
+                               lambda s: F.crc32(F.encode(s, "UTF-8"))))
     return sh.select(F.col(id_col), sigs(hashed).alias("_sig")) \
         .select(id_col, *[F.element_at("_sig", i + 1).alias(f"mh{i}")
                           for i in range(k)])
@@ -245,7 +249,8 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
         F.transform("shingles",
                     lambda s: F.crc32(F.encode(s, "UTF-8"))).alias("_hsh")
     ).localCheckpoint()
-    sig = _signatures_from_shingles(sh_base, k=k, id_col=id_col, seed=seed)
+    sig = _signatures_from_shingles(sh_base, k=k, id_col=id_col, seed=seed,
+                                    hashed_col="_hsh")
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
                  F.col(f"mh{r * i}").alias("v0"),
@@ -264,9 +269,12 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     # SF=0.5, with the exact string intersect taking ~70% of the wall.
     # The crc32 long arrays (one JVM pass, 2.5x smaller than the strings,
     # ~5x cheaper to intersect) give a Jaccard within +-2c/|union| of the
-    # exact value for c within-pair collisions (P(c>=1) ~ 1e-4 per pair,
-    # P(c>=3) astronomically small), so the 0.05 slack can only ADMIT
-    # extra pairs into the exact verify, never drop a true one.
+    # exact value for c within-pair collisions (P(c>=1) ~ 1e-4 per pair).
+    # The 0.05 slack therefore admits extra pairs into the exact verify
+    # rather than dropping true ones whenever |union| >= 40c; a true pair
+    # can only slip past the screen if a collision lands inside a SMALL
+    # union (P ~ 1e-8/pair) — comparable to the banding's own documented
+    # miss probability, and far below the exact-oracle gate's corpus odds.
     ha = sh_base.select(F.col(id_col).alias("a"),
                         F.col("_hsh").alias("_ha"))
     hb = sh_base.select(F.col(id_col).alias("b"),

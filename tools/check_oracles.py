@@ -49,8 +49,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM '{SF_DIR}/{t}.parquet'")
+        p = f"{SF_DIR}/{t}.parquet"
+        src = (f"read_parquet('{p}/*.parquet')" if os.path.isdir(p)
+               else f"'{p}'")  # Spark-written tables are directories
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     oracles = entry.oracle_sql()
     failed = []

@@ -46,7 +46,12 @@ COPY_TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def perm_text(big):
-    """Deterministic per-(doc_id, __k__) word permutation of `text`."""
+    """Deterministic per-(doc_id, __k__) word permutation of `text`.
+
+    Latent edge (absent from the current fixture, verified): a doc whose
+    token multiset admits only one ordering (single-token or
+    all-identical tokens) permutes to itself, so its replicas WOULD be
+    exact duplicates — re-check if the source fixture is regenerated."""
     from pyspark.sql import functions as F
     shuffled = F.array_join(
         F.transform(
@@ -62,14 +67,16 @@ def perm_text(big):
 
 
 def roll_embedding(big):
-    """Cyclic (__k__ * 17) % dim coordinate roll of `embedding`."""
+    """Cyclic coordinate roll of `embedding`, shift never 0 for k > 0
+    (a zero shift — e.g. dim 17 or factor >= 65 at dim 64 — would yield
+    the verbatim duplicate replicas this transform exists to prevent)."""
     from pyspark.sql import functions as F
     dim = F.size("embedding")
-    shift = (F.col("__k__") * 17) % dim
+    shift = (F.col("__k__") * 17 - 1) % (dim - 1) + 1
     rolled = F.concat(F.slice("embedding", shift + 1, dim - shift),
                       F.slice("embedding", F.lit(1), shift))
     return big.withColumn(
-        "embedding", F.when(F.col("__k__") == 0,
+        "embedding", F.when((F.col("__k__") == 0) | (dim <= 1),
                             F.col("embedding")).otherwise(rolled))
 
 
