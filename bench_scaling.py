@@ -265,6 +265,9 @@ def main() -> None:
     ap.add_argument("--table", default=None,
                     help="pre-ingested table path (default: /tmp cache)")
     ap.add_argument("--no-md", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="allow a small --n-images run to overwrite the "
+                         "recorded scaling artifacts")
     ap.add_argument("--worker", action="store_true",
                     help="internal: run one pinned measurement level")
     ap.add_argument("--cpus", type=int, default=None)
@@ -279,6 +282,18 @@ def main() -> None:
         print(json.dumps(r))
         return
 
+    if (args.n_images < 500_000 and not args.no_md and not args.force):
+        # guard the recorded artifact: at small image counts per-job
+        # constants (session startup, task scheduling) dominate the
+        # measured wall and the efficiency number is meaninglessly low
+        # (60k images report ~0.38 where the same code pins 0.8+ at
+        # 1.92M) — refusing here keeps a casual default-args run from
+        # OVERWRITING the good BENCH_SCALING.json/BASELINE.md record.
+        ap.error(
+            f"--n-images {args.n_images} < 500000 would overwrite the "
+            f"recorded scaling artifacts with an overhead-dominated "
+            f"measurement; pass --no-md to measure without recording, "
+            f"or --force to record anyway")
     path = args.table or f"/tmp/bench_images_{args.n_images}"
     ensure_table(path, args.n_images)
     levels = [args.low] + ([args.mid] if args.mid else []) + [args.high]

@@ -76,14 +76,20 @@ def spherical_kmeans(mat: np.ndarray, k: int, *, seed: int = 11,
     k = min(k, n)
     rng = np.random.default_rng(seed)
     cents = [xn[int(rng.integers(n))]]
+    # k-means++ init in O(k*n*d): `best` carries the max similarity to
+    # any chosen centroid and is updated incrementally with ONLY the
+    # newest centroid each round (recomputing against all existing
+    # centroids would be O(k^2*n*d) — infeasible at the 65536-centroid
+    # sizing default_n_centroids advertises for trillion-row corpora).
+    best = xn @ cents[0]
     for _ in range(k - 1):
-        best = np.max(np.stack([xn @ c for c in cents]), axis=0)
         gap = np.maximum(1.0 - best, 0.0)
         tot = float(gap.sum())
         if tot <= 0:  # all points already coincide with a centroid
             cents.append(xn[int(rng.integers(n))])
-            continue
-        cents.append(xn[int(rng.choice(n, p=gap / tot))])
+        else:
+            cents.append(xn[int(rng.choice(n, p=gap / tot))])
+        best = np.maximum(best, xn @ cents[-1])
     cmat = np.stack(cents)
     for _ in range(iters):
         assign = (xn @ cmat.T).argmax(axis=1)
@@ -157,9 +163,22 @@ def train_centroids(corpus: DataFrame, n_centroids: int, *,
     Pass ``n_rows`` when the caller already counted — a second full
     count job at corpus scale is minutes of wasted wall."""
     n = corpus.count() if n_rows is None else n_rows
-    stride = max(1, n // max(sample_cap, n_centroids * 4))
+    target = max(sample_cap, n_centroids * 4)
+    stride = max(1, n // target)
     sample = corpus.where(F.col(id_col) % stride == 0) \
         .select(vec_col).toPandas()
+    if len(sample) < min(n, n_centroids):
+        # the modulo sample assumes dense 0..n-1 integer ids; on a
+        # sparse/offset id space it can come back (near-)empty or
+        # systematically biased — fall back to a seeded row sample,
+        # still pushed down as a scan-side filter
+        frac = min(1.0, 1.25 * target / max(n, 1))
+        sample = corpus.sample(fraction=frac, seed=seed) \
+            .select(vec_col).toPandas()
+    if not len(sample):
+        raise ValueError(
+            f"IVF quantizer training sample is empty (corpus rows={n}); "
+            f"cannot train {n_centroids} centroids")
     mat = np.stack(sample[vec_col].to_numpy())
     return spherical_kmeans(mat, n_centroids, seed=seed)
 
@@ -222,8 +241,16 @@ def build_ivf_index_local(embeddings_parquet: str, path: str, *,
     if n_centroids is None:
         n_centroids = default_n_centroids(len(ids))
     stride = max(1, len(ids) // max(sample_cap, n_centroids * 4))
-    cents = spherical_kmeans(mat[ids % stride == 0], n_centroids,
-                             seed=seed)
+    train = mat[ids % stride == 0]
+    if len(train) < min(len(ids), n_centroids):
+        # sparse/offset ids defeat the modulo sample (see train_centroids)
+        rng = np.random.default_rng(seed)
+        take = min(len(ids), max(sample_cap, n_centroids * 4))
+        train = mat[np.sort(rng.choice(len(ids), size=take,
+                                       replace=False))]
+    if not len(train):
+        raise ValueError("IVF quantizer training sample is empty")
+    cents = spherical_kmeans(train, n_centroids, seed=seed)
     lists = assign_lists(mat, cents)
     pts = lists % np.int32(list_partitions)
     for pt in range(list_partitions):
@@ -249,8 +276,12 @@ def build_ivf_index_local(embeddings_parquet: str, path: str, *,
 def ivf_probes(q_mat: np.ndarray, centroids: np.ndarray,
                nprobe: int) -> np.ndarray:
     """Top-``nprobe`` centroid lists per query (cos desc, list_id asc
-    tie-break), driver-side numpy over the tiny centroid matrix."""
-    sims = _normalize(np.asarray(q_mat, dtype=np.float64)) @ centroids.T
+    tie-break), driver-side numpy over the tiny centroid matrix. The
+    similarity is quantized at 1e-6 before ordering so the DuckDB twin
+    (which quantizes the same way) can't flip a probe choice on a
+    last-ulp evaluation-order difference."""
+    sims = np.round(
+        _normalize(np.asarray(q_mat, dtype=np.float64)) @ centroids.T, 6)
     nprobe = min(nprobe, centroids.shape[0])
     lists = np.arange(centroids.shape[0])
     order = np.lexsort((np.broadcast_to(lists, sims.shape), -sims),

@@ -64,8 +64,10 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             kk = min(k, sims.shape[0])
             for j, qid in enumerate(ids):
                 col = sims[:, j]
-                # local top-k prune (stable ties by vec_id)
-                part = np.lexsort((vids, -col))[:kk]
+                # local top-k prune on the QUANTIZED cosine (same 1e-6
+                # key as the final rank window, so the prune can never
+                # drop a row the rounded global order would keep)
+                part = np.lexsort((vids, -np.round(col, 6)))[:kk]
                 frames.append(pd.DataFrame({
                     query_id_col: str(qid),
                     id_col: vids[part],
@@ -73,7 +75,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
             yield pd.concat(frames, ignore_index=True)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    # rank on the 1e-6-quantized cosine (+ id tie-break): near-tied
+    # cosines whose raw order depends on floating-point evaluation order
+    # rank identically here and in any SQL twin that quantizes the same
+    # way — last-ulp engine differences can't swap ranks
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.col(id_col))
     return (partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col,
@@ -157,8 +164,10 @@ def lsh_query_probes(queries: DataFrame, *, n_planes: int = 6,
 
 def _rank_topk(scored: DataFrame, k: int, *, id_col: str,
                query_id_col: str) -> DataFrame:
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"),
-                                                 F.col(id_col))
+    # quantized ordering key (see cosine_topk): rank-stable across
+    # engines whose float evaluation orders differ in the last ulp
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(query_id_col, "rank", id_col,

@@ -238,17 +238,81 @@ def udf_cover_cells_bbox(res: int):
     return cover
 
 
+def _geom_vertices(geom) -> np.ndarray:
+    """All vertices of ``geom`` as an (n, 2) array (polygon ring closing
+    duplicates dropped). Used by the vectorized pair screens — only
+    set-membership of the vertices matters, not their order."""
+    from geomesa_spark.geo.model import LineString, Point, Polygon
+
+    chunks = []
+    for part in _flatten(geom):
+        if isinstance(part, Polygon) and not part.is_empty():
+            for ring in part.rings():
+                chunks.append(ring[:-1])
+        elif isinstance(part, LineString):
+            chunks.append(part.coords)
+        elif isinstance(part, Point) and not part.is_empty():
+            chunks.append(np.array([[part.x, part.y]]))
+    if not chunks:
+        return np.zeros((0, 2))
+    return np.concatenate(chunks, axis=0)
+
+
+def _screen_vertex_locations(pair_idx: list[int], containers: list,
+                             partners: list) -> list[np.ndarray]:
+    """For each (container, partner) pair, the location codes of the
+    partner's vertices in the container (1 interior / 0 boundary /
+    -1 exterior) — computed with ONE vectorized ray-cast per DISTINCT
+    container over all its partners' vertices stacked, instead of a
+    Python call per pair."""
+    by_container: dict[int, list[int]] = {}
+    for i in pair_idx:
+        by_container.setdefault(id(containers[i]), []).append(i)
+    out: dict[int, np.ndarray] = {}
+    for idxs in by_container.values():
+        geom = containers[idxs[0]]
+        verts = [_geom_vertices(partners[i]) for i in idxs]
+        lens = [len(v) for v in verts]
+        if sum(lens) == 0:
+            for i in idxs:
+                out[i] = np.zeros(0, dtype=np.int8)
+            continue
+        stacked = np.concatenate([v for v in verts if len(v)], axis=0)
+        loc = locate_points_in_geometry(stacked[:, 0], stacked[:, 1],
+                                        geom)
+        offs = np.cumsum([0] + lens)
+        for j, i in enumerate(idxs):
+            out[i] = loc[offs[j]:offs[j + 1]]
+    return [out[i] for i in pair_idx]
+
+
 def udf_refine_pairs(predicate: str):
     """General geometry-pair refinement (polygon-polygon etc.).
 
     Vectorized over the Arrow batch: pairs are deduplicated with
-    ``pd.factorize`` on the concatenated WKB key, so the exact DE-9IM
-    predicate runs ONCE per distinct geometry pair (the cell equi-join
-    duplicates a pair once per shared cover cell) with memoized geometry
-    parses. A numpy envelope pre-reject drops the cheap cases before any
-    exact call — sweepline-refine parity with the reference's per-pair
-    OverlapAction (GeoMesaJoinRelation.scala:41-55, OverlapAction:25-41),
-    which also runs one exact predicate per envelope-overlapping pair.
+    ``pd.factorize`` on the concatenated WKB key, so exact work runs
+    ONCE per distinct geometry pair (the cell equi-join duplicates a
+    pair once per shared cover cell) with memoized geometry parses.
+    Three screening tiers, each sound (they only decide what they can
+    prove; DE-9IM remains the decider for the rest):
+
+    1. numpy envelope pre-reject across ALL distinct pairs at once
+       (callers going through ``spatial_join_pairs`` arrive pre-screened
+       by the JVM join condition; the re-check costs one vectorized
+       compare and keeps the UDF safe standalone);
+    2. vertex-location screen, one vectorized ray-cast per distinct
+       container geometry over all its partners' vertices stacked
+       (``_screen_vertex_locations``): for the intersects predicate a
+       non-exterior vertex in either direction PROVES intersection; for
+       containment predicates an exterior vertex of the contained side
+       DISPROVES it. This decides the bulk of candidate pairs without
+       entering the interpreted DE-9IM machinery — the vectorized
+       equivalent of the per-pair exact-call bound of the reference's
+       sweepline OverlapAction (GeoMesaJoinRelation.scala:41-55,
+       OverlapAction:25-41);
+    3. the exact DE-9IM predicate for the undecided remainder (pairs
+       intersecting only through edge crossings, containment with all
+       vertices inside, and the rarer predicates).
     """
     fn = {
         "st_contains": gp.contains, "st_within": gp.within,
@@ -276,27 +340,60 @@ def udf_refine_pairs(predicate: str):
                 g = gmemo[k] = gio.from_wkb(k)
             return g
 
-        verdicts = np.zeros(len(uniques), dtype=bool)
-        for ui, key in enumerate(uniques):
+        nu = len(uniques)
+        left, right = [], []
+        for key in uniques:
             la = int.from_bytes(key[:4], "big")
-            ga_raw, gb_raw = key[4:4 + la], key[4 + la:]
-            ga, gb = parse(ga_raw), parse(gb_raw)
-            ax0, ay0, ax1, ay1 = ga.bounds()
-            bx0, by0, bx1, by1 = gb.bounds()
-            if predicate in ("st_contains", "st_covers"):
-                if not (ax0 <= bx0 and ay0 <= by0 and ax1 >= bx1
-                        and ay1 >= by1):
-                    continue
-            elif predicate in ("st_within", "st_coveredBy"):
-                if not (bx0 <= ax0 and by0 <= ay0 and bx1 >= ax1
-                        and by1 >= ay1):
-                    continue
-            elif predicate == "st_equals":
-                if (ax0, ay0, ax1, ay1) != (bx0, by0, bx1, by1):
-                    continue
-            elif ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
-                continue
-            verdicts[ui] = bool(fn(ga, gb))
+            left.append(parse(key[4:4 + la]))
+            right.append(parse(key[4 + la:]))
+        # tier 1: vectorized envelope necessary-condition
+        lb = np.array([g.bounds() for g in left], dtype=np.float64) \
+            if nu else np.zeros((0, 4))
+        rb = np.array([g.bounds() for g in right], dtype=np.float64) \
+            if nu else np.zeros((0, 4))
+        if predicate in ("st_contains", "st_covers"):
+            env = ((lb[:, 0] <= rb[:, 0]) & (lb[:, 1] <= rb[:, 1])
+                   & (lb[:, 2] >= rb[:, 2]) & (lb[:, 3] >= rb[:, 3]))
+        elif predicate in ("st_within", "st_coveredBy"):
+            env = ((rb[:, 0] <= lb[:, 0]) & (rb[:, 1] <= lb[:, 1])
+                   & (rb[:, 2] >= lb[:, 2]) & (rb[:, 3] >= lb[:, 3]))
+        elif predicate == "st_equals":
+            env = (lb == rb).all(axis=1)
+        else:
+            env = ((lb[:, 0] <= rb[:, 2]) & (rb[:, 0] <= lb[:, 2])
+                   & (lb[:, 1] <= rb[:, 3]) & (rb[:, 1] <= lb[:, 3]))
+        verdicts = np.zeros(nu, dtype=bool)
+        undecided = np.flatnonzero(env).tolist()
+        # tier 2: vertex-location screens (sound accept/reject only)
+        if predicate == "st_intersects" and undecided:
+            locs = _screen_vertex_locations(undecided, left, right)
+            still = []
+            for i, loc in zip(undecided, locs):
+                if len(loc) and loc.max() >= 0:  # a vertex of b in/on a
+                    verdicts[i] = True
+                else:
+                    still.append(i)
+            if still:  # reverse direction: vertices of a in/on b
+                locs = _screen_vertex_locations(still, right, left)
+                undecided = []
+                for i, loc in zip(still, locs):
+                    if len(loc) and loc.max() >= 0:
+                        verdicts[i] = True
+                    else:
+                        undecided.append(i)
+            else:
+                undecided = []
+        elif predicate in ("st_contains", "st_covers",
+                           "st_within", "st_coveredBy") and undecided:
+            flip = predicate in ("st_within", "st_coveredBy")
+            cont, part = (right, left) if flip else (left, right)
+            locs = _screen_vertex_locations(undecided, cont, part)
+            undecided = [
+                i for i, loc in zip(undecided, locs)
+                if not (len(loc) and loc.min() == -1)]  # exterior vertex
+        # tier 3: exact DE-9IM for the undecided remainder
+        for i in undecided:
+            verdicts[i] = bool(fn(left[i], right[i]))
         out = np.zeros(n, dtype=bool)
         ok = codes >= 0
         out[ok] = verdicts[codes[ok]]

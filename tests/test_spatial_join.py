@@ -185,3 +185,71 @@ def test_locate_vectorized_matches_scalar():
         loc = gp.locate(poly, float(xs[i]), float(ys[i]))
         want = {"I": 1, "B": 0, "E": -1}[loc]
         assert got[i] == want, (xs[i], ys[i], got[i], want)
+
+
+class TestRefineScreenBlindSpots:
+    """Adversarial pairs aimed at the vertex-location screens in
+    udf_refine_pairs: cases the screens must leave to exact DE-9IM
+    (edge-crossing-only intersections, all-vertices-inside
+    non-containment) and cases they may decide (must agree with gp.*)."""
+
+    def _pairs(self, spark, geoms_a, geoms_b, predicate):
+        lf = spark.createDataFrame(
+            [(f"a{i}", bytearray(to_wkb(g))) for i, g in enumerate(geoms_a)],
+            "left_id string, geom binary")
+        rf = spark.createDataFrame(
+            [(f"b{i}", bytearray(to_wkb(g))) for i, g in enumerate(geoms_b)],
+            "right_id string, geom_r binary")
+        got = {(r["left_id"], r["right_id"]) for r in spatial_join_pairs(
+            lf, rf, predicate=predicate, res=4).collect()}
+        from geomesa_spark.geo import predicates as gp
+        fn = {"st_intersects": gp.intersects, "st_contains": gp.contains,
+              "st_within": gp.within, "st_touches": gp.touches}[predicate]
+        want = {(f"a{i}", f"b{j}")
+                for i, ga in enumerate(geoms_a)
+                for j, gb in enumerate(geoms_b) if fn(ga, gb)}
+        assert got == want
+
+    def test_plus_sign_edge_crossing_only(self, spark):
+        # two crossing rectangles: every vertex of each is EXTERIOR to
+        # the other, intersection is edge-crossing only -> the vertex
+        # screen cannot accept; exact must still return True
+        horiz = box_poly(0.0, 4.0, 10.0, 6.0)
+        vert = box_poly(4.0, 0.0, 6.0, 10.0)
+        far = box_poly(20.0, 20.0, 21.0, 21.0)
+        self._pairs(spark, [horiz, far], [vert, far], "st_intersects")
+
+    def test_concave_all_vertices_inside_not_contained(self, spark):
+        # U-shaped container: the triangle's vertices all sit inside the
+        # U's arms, but its base edge spans the notch (outside) -> the
+        # exterior-vertex reject cannot fire; exact must return False
+        u = Polygon([[0, 0], [10, 0], [10, 10], [7, 10], [7, 3],
+                     [3, 3], [3, 10], [0, 10], [0, 0]])
+        tri = Polygon([[1, 8], [9, 8], [5, 7], [1, 8]])
+        inside = Polygon([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]])
+        self._pairs(spark, [u], [tri, inside], "st_contains")
+
+    def test_hole_vertex_reject(self, spark):
+        # geometry in the donut hole: vertices are exterior (hole is not
+        # interior) -> the screen may reject contains AND must agree on
+        # intersects (no intersection at all)
+        donut = Polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                        [[[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]]])
+        in_hole = box_poly(4.0, 4.0, 6.0, 6.0)
+        in_ring = box_poly(1.0, 1.0, 2.0, 2.0)
+        for pred in ("st_contains", "st_intersects"):
+            self._pairs(spark, [donut], [in_hole, in_ring], pred)
+
+    def test_touches_boundary_only(self, spark):
+        # shared-edge neighbors: vertex screen must not short-circuit
+        # touches (it only screens intersects/containment)
+        a = box_poly(0.0, 0.0, 5.0, 5.0)
+        b = box_poly(5.0, 0.0, 10.0, 5.0)
+        c = box_poly(6.0, 0.0, 12.0, 5.0)
+        self._pairs(spark, [a], [b, c], "st_touches")
+
+    def test_within_mirror(self, spark):
+        outer = box_poly(0.0, 0.0, 10.0, 10.0)
+        inner = box_poly(2.0, 2.0, 3.0, 3.0)
+        straddle = box_poly(9.0, 9.0, 11.0, 11.0)
+        self._pairs(spark, [inner, straddle], [outer], "st_within")

@@ -203,6 +203,24 @@ class TestDedup:
             assert got[k] == pytest.approx(want[k], abs=1e-6)
         assert (100, 101) in got  # hot-only pair found by compensation
 
+    def test_ngram_audit_cap_restricts_input(self, spark):
+        """audit_cap is the caller-visible sample bound: pairs touching a
+        doc at or past the cap never appear; below the cap the result
+        equals the uncapped run over the same sample."""
+        from geomesa_spark.text.dedup import ngram_jaccard_pairs
+        text = "the quick brown fox jumps over the lazy dog tonight"
+        docs = spark.createDataFrame(
+            [(i, text) for i in (1, 2, 50, 51)],
+            "doc_id long, text string")
+        capped = {(r["a"], r["b"]) for r in
+                  ngram_jaccard_pairs(docs, threshold=0.3,
+                                      audit_cap=50).collect()}
+        assert capped == {(1, 2)}
+        full = {(r["a"], r["b"]) for r in
+                ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        assert full == {(1, 2), (1, 50), (1, 51), (2, 50), (2, 51),
+                        (50, 51)}
+
     def test_minhash_pairs_match_bruteforce(self, docs, local_docs):
         from geomesa_spark.text.dedup import minhash_pairs
         got = {(r["a"], r["b"]): r["jaccard"]
