@@ -850,11 +850,12 @@ def q_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-routed ANN (StrategyDecider parity for the ANN family): the
     decider (`ml/router.py:decide_ann`) weighs exact vs the two stored
     indexes from corpus/query counts + the index sidecars' build
-    parameters. At every fixture SF the probe sets cover most buckets
-    (the documented small-corpus regime), so the modeled index cost
-    exceeds brute force and the router provably picks EXACT — making
-    the exact-top-k SQL twin a true oracle; pytest asserts the decision
-    flips to the stored indexes at 10^6+ corpus shapes."""
+    parameters. At the driver-gate SFs (≤2k vectors) the probe sets
+    cover most buckets (the documented small-corpus regime), so the
+    modeled index cost exceeds brute force and the router provably
+    picks EXACT — making the exact-top-k SQL twin a true oracle;
+    pytest pins the decision flipping to IVF at the measured SF=1.0
+    crossover shape (20k vectors / 400 queries, BENCH_SF1_LOCAL)."""
     from geomesa_spark.ml.router import ann_topk_routed
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(

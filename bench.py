@@ -119,9 +119,18 @@ def main() -> None:
     # round-3 line with two 50-query dicts overflowed it and the driver
     # recorded parsed=null), so keep stdout to the min-timings only and
     # shed precision further if a future query-count growth overflows again.
+    # sf0.1 (the driver's bench SF) owns BENCH_LOCAL.json; other scale
+    # factors get their own artifact (BENCH_SF05_LOCAL.json etc.) so a
+    # big-fixture profiling run can never clobber the headline record
+    if sf == "0.1":
+        name = "BENCH_LOCAL.json"
+    else:  # 0.5 -> SF05 (existing artifact name), 1.0 -> SF1
+        tag = str(int(float(sf))) if float(sf) == int(float(sf)) \
+            else sf.replace(".", "")
+        name = f"BENCH_SF{tag}_LOCAL.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as f:
+                               name), "w") as f:
             json.dump({**out, "queries_median": medians}, f, indent=1)
     except OSError:
         pass

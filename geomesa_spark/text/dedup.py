@@ -270,13 +270,43 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
                  F.col(f"mh{r * i}").alias("v0"),
                  F.col(f"mh{r * i + 1}").alias("v1"))
         for i in range(bands)])
+    # Signature-estimate screen, row-local INSIDE the band-join stage:
+    # the matching-component fraction of the two minhash signatures is
+    # an unbiased estimator of the pair's Jaccard (E[matches/k] = j),
+    # already concentrated at k=128 samples. Screening at
+    # (threshold - 0.25) keeps every true pair up to a Hoeffding miss
+    # of exp(-2k*0.25^2) ~ 1e-7 — the same order as the banding's own
+    # documented (1-t^r)^bands miss — while the low-Jaccard background
+    # mass (boilerplate corpora: j ~ 0.1-0.2 pairs band-collide almost
+    # surely at r=2) passes with probability ~3e-5. This is the shape
+    # fix the SF=1.0 profile demanded: 113M raw candidates for 258
+    # true pairs, with the old distinct() + array-attach joins costing
+    # 87 of a 140 s wall. The screen needs NO extra shuffle: the k
+    # signature components ride the 3.2M-row band-explode as FLAT int
+    # columns (never as an array — higher-order functions like
+    # zip_with/aggregate fall outside whole-stage codegen and measure
+    # ~4x slower here), and the k-term equality sum compiles to
+    # straight-line generated code evaluated inside the join stage, so
+    # everything downstream — dedup, crc32 pre-verify, exact verify —
+    # touches only screen survivors.
     ex = sig.select(F.col(id_col).alias("_id"),
+                    *[F.col(f"mh{i}") for i in range(k)],
                     F.explode(band_arr).alias("bd"))
-    left = ex.select(F.col("_id").alias("a"), "bd")
-    right = ex.select(F.col("_id").alias("b"), "bd")
+    left = ex.select(F.col("_id").alias("a"),
+                     *[F.col(f"mh{i}").alias(f"_la{i}")
+                       for i in range(k)], "bd")
+    right = ex.select(F.col("_id").alias("b"),
+                      *[F.col(f"mh{i}").alias(f"_lb{i}")
+                        for i in range(k)], "bd")
+    matches = None
+    for i in range(k):
+        term = (F.col(f"_la{i}") == F.col(f"_lb{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    est_cut = int(np.ceil(max(0.0, threshold - 0.25) * k))
     cand = (left.join(right, "bd")
             .where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+            .where(matches >= F.lit(est_cut))
+            .select("a", "b"))
     # Hashed pre-verify: boilerplate-heavy corpora have a high BACKGROUND
     # Jaccard (hot shingles live in most docs), so band candidates vastly
     # outnumber real pairs — measured 18.9M candidates for 257 pairs at
@@ -295,7 +325,10 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
                         F.col("_hsh").alias("_hb"))
     hcommon = F.size(F.array_intersect("_ha", "_hb"))
     hjac = hcommon / (F.size("_ha") + F.size("_hb") - hcommon)
-    pre = (cand.join(ha, "a").join(hb, "b")
+    # dedup AFTER the signature screen: it touches survivors (~the
+    # true-pair count), not the 10^8 band collisions
+    pre = (cand.distinct()
+           .join(ha, "a").join(hb, "b")
            .where(hjac >= threshold - 0.05)
            .select("a", "b"))
     pa = sh_base.select(F.col(id_col).alias("a"),

@@ -63,21 +63,32 @@ class TestDecision:
     IVF_META = {"n_centroids": 100, "dim": 64, "seed": 11,
                 "list_partitions": 16}
 
-    def test_fixture_scale_routes_exact(self):
-        # the measured sf0.1 shape (10k vectors, 200 queries): multiprobe
-        # covers most buckets, brute force wins (BASELINE.md regime)
+    def test_sf01_shape_routes_exact(self):
+        # the measured sf0.1 shape (2k vectors, 40 queries, p=6 sidecar):
+        # measured exact 0.69 s vs IVF 1.40 vs LSH 2.78
+        lsh = dict(self.LSH_META, n_planes=6)
+        ivf = dict(self.IVF_META, n_centroids=45)
+        s = decide_ann(2_000, 40, lsh_meta=lsh, ivf_meta=ivf,
+                       multiprobe=2, nprobe=4)
+        assert s.kind == "exact"
+
+    def test_sf05_shape_routes_exact(self):
+        # the measured sf0.5 shape (10k vectors, 200 queries): the r4
+        # VERDICT regime — multiprobe covers every bucket, exact (0.94 s)
+        # must win over the stored LSH index (7.46 s)
         s = decide_ann(10_000, 200, lsh_meta=self.LSH_META,
                        ivf_meta=self.IVF_META, multiprobe=2, nprobe=4)
         assert s.kind == "exact"
 
-    def test_sf05_scale_routes_exact(self):
-        # the VERDICT r4 finding: 50k vectors must NOT route to the
-        # stored LSH index (7.5 s) when exact takes 0.9 s
-        meta = dict(self.LSH_META, n_planes=11)
-        ivf = dict(self.IVF_META, n_centroids=224)
-        s = decide_ann(50_000, 1000, lsh_meta=meta, ivf_meta=ivf,
+    def test_sf1_shape_crosses_to_ivf(self):
+        # the measured sf1.0 crossover (20k vectors, 400 queries): IVF
+        # 2.42 s beat exact 4.37 s (BENCH_SF1_LOCAL.json) — the router
+        # must follow the measurement
+        lsh = dict(self.LSH_META, n_planes=10)
+        ivf = dict(self.IVF_META, n_centroids=141)
+        s = decide_ann(20_000, 400, lsh_meta=lsh, ivf_meta=ivf,
                        multiprobe=2, nprobe=4)
-        assert s.kind == "exact"
+        assert s.kind == "ivf"
 
     def test_large_corpus_routes_ivf(self):
         # 10^7 vectors, sqrt(n) lists: the pruned scan's row savings
