@@ -19,6 +19,8 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -281,29 +283,68 @@ def minhash_pairs(df: DataFrame, *, threshold: float = 0.5, k: int = 128,
     # surely at r=2) passes with probability ~3e-5. This is the shape
     # fix the SF=1.0 profile demanded: 113M raw candidates for 258
     # true pairs, with the old distinct() + array-attach joins costing
-    # 87 of a 140 s wall. The screen needs NO extra shuffle: the k
-    # signature components ride the 3.2M-row band-explode as FLAT int
-    # columns (never as an array — higher-order functions like
-    # zip_with/aggregate fall outside whole-stage codegen and measure
-    # ~4x slower here), and the k-term equality sum compiles to
-    # straight-line generated code evaluated inside the join stage, so
-    # everything downstream — dedup, crc32 pre-verify, exact verify —
-    # touches only screen survivors.
-    ex = sig.select(F.col(id_col).alias("_id"),
-                    *[F.col(f"mh{i}") for i in range(k)],
+    # 87 of a 140 s wall. The screen needs NO extra shuffle — the
+    # estimate rides the band-join stage itself — and everything
+    # downstream (dedup, crc32 pre-verify, exact verify) touches only
+    # screen survivors.
+    #
+    # Representation matters as much as the screen (profiled at SF=1.0,
+    # 113M joined rows): carrying the k components as flat long columns
+    # made the join stage 81 s — 2x128 longs per join row fatten the
+    # band-join shuffle ~20x over the narrow (id, band) join (8 s), and
+    # the 128-term equality sum strains codegen. So the components ride
+    # the explode TRUNCATED to 8 bits and PACKED 7 per long (bits 56+
+    # stay zero so every SWAR intermediate fits a signed long — no ANSI
+    # overflow). The per-pair match count is a SWAR zero-byte test per
+    # packed pair — d = xor(pa, pb); a zero 8-bit lane is detected by
+    # the canonical ((d & 0x7f..) + 0x7f..) | d MSB trick; bit_count of
+    # the MSB mask — summed across the ceil(k/7) longs: ~20 cheap
+    # bitwise ops per long, comfortably inside whole-stage codegen.
+    # Truncation can only INFLATE the match count (a differing
+    # component collides in its low 8 bits with prob 1/256), so the
+    # screen keeps a strict SUPERSET of exact component equality: the
+    # Hoeffding keep-side guarantee is intact, and the ~k/256 expected
+    # extra background matches are absorbed by the cut's 0.25 margin.
+    # Measured at SF=1.0: join+screen 81 s -> ~10 s, identical pairs.
+    lanes = 7
+    n_packed = (k + lanes - 1) // lanes
+    spare = n_packed * lanes - k  # all-zero lanes always "match"
+    packed = [
+        reduce(lambda acc, term: acc.bitwiseOR(term),
+               [F.shiftleft(F.col(f"mh{j * lanes + i}")
+                            .bitwiseAND(F.lit(255)), 8 * i)
+                for i in range(lanes) if j * lanes + i < k]).alias(f"pk{j}")
+        for j in range(n_packed)]
+    ex = sig.select(F.col(id_col).alias("_id"), *packed,
                     F.explode(band_arr).alias("bd"))
     left = ex.select(F.col("_id").alias("a"),
-                     *[F.col(f"mh{i}").alias(f"_la{i}")
-                       for i in range(k)], "bd")
+                     *[F.col(f"pk{j}").alias(f"_pa{j}")
+                       for j in range(n_packed)], "bd")
     right = ex.select(F.col("_id").alias("b"),
-                      *[F.col(f"mh{i}").alias(f"_lb{i}")
-                        for i in range(k)], "bd")
+                      *[F.col(f"pk{j}").alias(f"_pb{j}")
+                        for j in range(n_packed)], "bd")
+    low7 = F.lit(0x007F7F7F7F7F7F7F)
+    msb7 = F.lit(0x0080808080808080)
     matches = None
-    for i in range(k):
-        term = (F.col(f"_la{i}") == F.col(f"_lb{i}")).cast("int")
+    for j in range(n_packed):
+        d = F.col(f"_pa{j}").bitwiseXOR(F.col(f"_pb{j}"))
+        y = d.bitwiseAND(low7) + low7
+        zmask = F.bitwise_not(y.bitwiseOR(d).bitwiseOR(low7)) \
+            .bitwiseAND(msb7)
+        term = F.bit_count(zmask)
         matches = term if matches is None else matches + term
-    est_cut = int(np.ceil(max(0.0, threshold - 0.25) * k))
-    cand = (left.join(right, "bd")
+    est_cut = int(np.ceil(max(0.0, threshold - 0.25) * k)) + spare
+    # merge-hint the band self-join: its OUTPUT (113M band collisions at
+    # SF=1.0) dwarfs both inputs (3.2M rows), the regime where a
+    # broadcast hash join loses badly — every probe of the ~550MB hashed
+    # relation is a random-memory chain walk (measured 121 s), while the
+    # sort-merge scans matched groups sequentially and evaluates the
+    # screen inline in the merge stage (measured 10-16 s). AQE's
+    # broadcast planning only models INPUT sizes, so it cannot see
+    # output-dominated joins. Measured faster at every fixture SF
+    # (sf0.1: 5.9 vs 8.3 s; SF=1.0: 26 vs 121 s); skew stays handled
+    # (AQE skew-join applies to SMJ).
+    cand = (left.hint("merge").join(right.hint("merge"), "bd")
             .where(F.col("a") < F.col("b"))
             .where(matches >= F.lit(est_cut))
             .select("a", "b"))
@@ -441,8 +482,15 @@ def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
     # filtering first means the distinct() only shuffles true pairs (each
     # duplicated <= n_chunks times), not every chunk collision — on a
     # high-background-similarity corpus that is orders of magnitude less.
+    # merge-hint the chunk self-join: clustered fingerprints put most
+    # rows in hot chunk buckets, so the join OUTPUT (172M collisions at
+    # SF=1.0) dwarfs its inputs (200k rows) — sort-merge streams matched
+    # groups sequentially (4.4 s) where the broadcast hash probe walks
+    # random chains per collision (17.8 s); AQE's input-size-only
+    # broadcast model cannot see output-dominated joins.
     dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (left.join(right, "ck").where(F.col("a") < F.col("b"))
+    return (left.hint("merge").join(right.hint("merge"), "ck")
+            .where(F.col("a") < F.col("b"))
             .select("a", "b", dist.alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
