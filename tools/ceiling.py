@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Same-day hardware scaling ceiling for the shared virtualized host.
+
+The BASELINE.json north rule asks for >= 0.8 throughput scaling from N
+to 4N executors. On this box that gate has a HARDWARE component: 4N
+concurrent CPU-bound processes share one memory bus, one L3, and the
+hypervisor's steal budget, so even embarrassingly parallel non-Spark
+code loses throughput per process as concurrency rises. This tool
+measures that ceiling directly — BASELINE.md's "hardware ceiling
+(re-measured same-day)" methodology, previously run ad hoc, now checked
+in so any reader can reproduce the number next to a scaling run.
+
+Method: spawn K INDEPENDENT Python processes (no Spark, no shared
+state), each taskset-pinned to its own distinct core, each running an
+identical fixed-size numpy+zlib kernel (the same op mix as the bench's
+dominant decode stage: byte-buffer decompress + ndarray reduction).
+Per-process wall at K=low vs K=high gives the max achievable low->high
+scaling efficiency for ANY CPU-bound software here:
+
+    ceiling = mean_wall(K=low) / mean_wall(K=high)
+
+(fixed work per process, so aggregate-throughput efficiency
+(thr_hi/thr_lo)/(hi/lo) reduces to exactly that wall ratio).
+
+Usage: python tools/ceiling.py [--low 4] [--high 16] [--seconds 8]
+Prints one JSON line; does not touch recorded artifacts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_KERNEL = r"""
+import sys, time, zlib
+import numpy as np
+reps = int(sys.argv[1])
+rng = np.random.default_rng(7)
+raw = rng.integers(0, 255, size=1 << 20, dtype=np.uint8).tobytes()
+blob = zlib.compress(raw, 1)
+t0 = time.perf_counter()
+acc = 0.0
+for _ in range(reps):
+    arr = np.frombuffer(zlib.decompress(blob), dtype=np.uint8)
+    acc += float(arr.reshape(1024, 1024).mean(axis=1).sum())
+print(time.perf_counter() - t0)
+"""
+
+
+def run_level(k: int, reps: int) -> float:
+    """Mean per-process wall of k pinned concurrent kernel runs."""
+    procs = []
+    for i in range(k):
+        procs.append(subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", _KERNEL,
+             str(reps)],
+            stdout=subprocess.PIPE, text=True))
+    walls = [float(p.communicate()[0].strip()) for p in procs]
+    if any(p.returncode for p in procs):
+        raise RuntimeError("kernel process failed")
+    return sum(walls) / len(walls)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=8.0,
+                    help="approx per-process kernel duration")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="take the best (least-stolen) round per level")
+    args = ap.parse_args()
+
+    # calibrate reps so one kernel run lasts ~args.seconds unloaded
+    t1 = run_level(1, 8)
+    reps = max(8, int(8 * args.seconds / t1))
+
+    lows, highs = [], []
+    for _ in range(args.rounds):  # interleave levels against host drift
+        lows.append(run_level(args.low, reps))
+        highs.append(run_level(args.high, reps))
+    lo, hi = min(lows), min(highs)
+    out = {"metric": f"hardware scaling ceiling ({args.low} -> "
+                     f"{args.high} pinned processes)",
+           "value": round(lo / hi, 3), "unit": "ratio",
+           "low_procs": args.low, "high_procs": args.high,
+           "reps": reps, "wall_low_s": round(lo, 3),
+           "wall_high_s": round(hi, 3),
+           "rounds": args.rounds}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    main()
