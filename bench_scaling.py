@@ -67,7 +67,20 @@ def build_spark(cpus: int):
             .config("spark.driver.memory", "24g")
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16384")
+            # 4k-row arrow batches: at 16384 rows a binary-image batch is
+            # 16-55 MB, and 16 concurrent tasks' in-flight batches drive G1
+            # allocation churn that burns ~28% extra core-seconds at the
+            # 16-core level (measured: decode 385 core-s at local[16] vs
+            # 297 at local[4] for identical work; 4096-row batches or a GC
+            # thread cap each independently restore ~276 core-s)
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+            # GC threads sized like a production executor (fixed, NOT
+            # scaled with the level, so no parallelism level gets an
+            # asymmetric flag): G1's default 5/8*cores gives 13 parallel
+            # GC threads at 16 cores, which compete with task threads +
+            # python workers for the pinned budget
+            .config("spark.driver.extraJavaOptions",
+                    "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2")
             # split the scan fine enough that every core gets tasks even on
             # a ~GB table (default 128m caps it at ~14 tasks), but not so
             # fine that per-task overhead dominates the 8-core level
