@@ -77,9 +77,18 @@ def main() -> None:
         F.col(args.id_col).cast("string").alias("query_id"), args.vec_col)
     n_queries = queries.count()
 
+    # default index locations (what --build-indexes creates): pick them
+    # up automatically when present, so a prior --build-indexes run's
+    # indexes aren't silently ignored on the next invocation
+    base = args.table.rstrip("/")
     lsh_path, ivf_path = args.lsh_index, args.ivf_index
+    if not lsh_path and os.path.exists(
+            os.path.join(f"{base}_lsh_idx", "_SUCCESS")):
+        lsh_path = f"{base}_lsh_idx"
+    if not ivf_path and os.path.exists(
+            os.path.join(f"{base}_ivf_idx", "_SUCCESS")):
+        ivf_path = f"{base}_ivf_idx"
     if args.build_indexes:
-        base = args.table.rstrip("/")
         lsh_path = lsh_path or f"{base}_lsh_idx"
         ivf_path = ivf_path or f"{base}_ivf_idx"
         if not os.path.exists(os.path.join(lsh_path, "_SUCCESS")):
@@ -98,6 +107,12 @@ def main() -> None:
         ivf_meta=ivf[2] if ivf else None,
         multiprobe=args.multiprobe, nprobe=args.nprobe)
     if args.force:
+        if args.force == "lsh" and lsh is None:
+            ap.error("--force lsh needs a stored LSH index: pass "
+                     "--lsh-index or run with --build-indexes first")
+        if args.force == "ivf" and ivf is None:
+            ap.error("--force ivf needs a stored IVF index: pass "
+                     "--ivf-index or run with --build-indexes first")
         decision = router.AnnStrategy(args.force, float("nan"), -1,
                                       "forced by --force")
         orig, router.decide_ann = router.decide_ann, \
