@@ -5,7 +5,7 @@ table, planned by the mixed-filter planner + cost-based strategy decider.
 Run via spark-submit (per BASELINE.json north_rule):
 
     spark-submit --py-files geomesa_spark.zip jobs/spatial_query.py \
-        --table /data/images_table --bbox -30,-20,40,35 \
+        --table /data/images_table --bbox=-30,-20,40,35 \
         [--t0 2024-01-08T00:00:00 --t1 2024-01-15T00:00:00] \
         [--attr fmt=raw] [--loose-bbox] [--out /data/query_out]
 
@@ -67,13 +67,18 @@ def main() -> None:
         col, val = a.split("=", 1)
         parts.append(Attr(col, "=", val))
     if args.ids:
-        # keep the IN literals the column's type: string literals against
-        # a numeric id column cast the COLUMN, defeating the sargable
-        # row-group pruning the id index exists for
-        toks = args.ids.split(",")
+        # coerce the IN literals to the id COLUMN's type (read from the
+        # table schema, not guessed from the literal shape): wrong-typed
+        # literals make Spark cast the COLUMN — an ANSI runtime error on
+        # non-numeric ids like 'img-000000002532', silent non-matches
+        # otherwise — and defeat the sargable row-group pruning the id
+        # index exists for
+        from pyspark.sql.types import NumericType
+        toks = [t.strip() for t in args.ids.split(",")]
+        id_type = spark.read.parquet(args.table) \
+            .schema[args.id_col].dataType
         vals = ([int(t) for t in toks]
-                if all(t.strip().lstrip("-").isdigit() for t in toks)
-                else toks)
+                if isinstance(id_type, NumericType) else toks)
         parts.append(Attr(args.id_col, "in", vals))
     if not parts:
         raise SystemExit("no predicates; pass --bbox/--t0/--attr/--ids")
