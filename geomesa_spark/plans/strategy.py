@@ -280,9 +280,12 @@ def decide(f, stats: dict, *, res: int = PARTITION_RES,
     if id_col is not None:
         id_pred = _first_attr_pred(f, id_col)
         if id_pred is not None and id_pred.op in ("=", "in"):
+            # short-circuit, not a cost candidate: |ids| is an exact
+            # count while every other cost is an estimate, and with
+            # missing stats the rows=1 floor would price a blind
+            # attribute scan (rows * 0.5) below a 2-id point read
             n_ids = len(id_pred.value) if id_pred.op == "in" else 1
-            candidates.append(Strategy("id", float(n_ids),
-                                       attribute=id_col))
+            return Strategy("id", float(n_ids), attribute=id_col)
 
     cover = FL.extract_cover(f, res=res)
     if cover is not None:

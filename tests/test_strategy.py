@@ -274,6 +274,18 @@ class TestIdIndex:
         want = {r["id"] for r in df.where(F.col("id").isin(ids)).collect()}
         assert got == want == set(ids)
 
+    def test_id_wins_without_stats(self):
+        """IdFilterStrategy parity even with NO stats: the rows=1 floor
+        must not price a blind attribute scan (rows * default fraction)
+        below an exact |ids|-row point read (regression: the query job
+        passes stats={'rows': 1} for tables without a stats sidecar and
+        silently ignored --id-index)."""
+        f = and_(Attr("fmt", "=", "rawz"),
+                 Attr("image_id", "in", ["a", "b"]))
+        s = decide(f, {"rows": 1}, id_col="image_id",
+                   allow_full_scan=True)
+        assert s.kind == "id" and s.cost == 2.0
+
     def test_id_equality_without_index_pushes_on_primary(self, spark):
         from geomesa_spark.plans.strategy import plan_with_strategy
         df = spark.createDataFrame(
