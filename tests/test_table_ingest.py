@@ -199,3 +199,70 @@ class TestSnapshotRead:
             ._jdf.queryExecution().executedPlan().toString()
         assert "ingest_chunk" in plan.split("PushedFilters: [", 1)[1] \
             .split("]", 1)[0]
+
+
+class TestProjectedScan:
+    """Width-aware scan: splits sized by projected on-disk bytes
+    (Iceberg/Trino split planning over parquet footers)."""
+
+    def test_parse_bytes(self):
+        from geomesa_spark.sources.table import _parse_bytes
+        assert _parse_bytes("32m") == 32 << 20
+        assert _parse_bytes("128mb") == 128 << 20
+        assert _parse_bytes("1g") == 1 << 30
+        assert _parse_bytes("134217728") == 134217728
+        assert _parse_bytes("4k") == 4096
+
+    def test_fraction_narrow_vs_wide(self, spark, table):
+        from geomesa_spark.sources.table import _projected_fraction
+        path, _ = table
+        narrow = _projected_fraction(path, ["lon", "lat"])
+        wide = _projected_fraction(path, ["bytes"])
+        # the image payload dominates the file bytes
+        assert narrow < 0.2 < wide
+        # missing table -> safe full-width estimate
+        assert _projected_fraction(str(path) + "_missing", ["x"]) == 1.0
+
+    def test_same_rows_and_isolated_conf(self, spark, table):
+        from geomesa_spark.sources.table import projected_scan
+        path, _ = table
+        before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        df = projected_scan(spark, path, ["image_id", "lon", "lat"])
+        assert df.columns == ["image_id", "lon", "lat"]
+        assert df.count() == N
+        # identical multiset of rows vs the plain scan
+        plain = read_images(spark, path).select("image_id", "lon", "lat")
+        assert (sorted(map(tuple, df.collect()))
+                == sorted(map(tuple, plain.collect())))
+        # the caller's session conf is untouched (isolation contract)
+        assert spark.conf.get(
+            "spark.sql.files.maxPartitionBytes") == before
+
+    def test_split_size_scales_with_projection(self, spark, table):
+        from geomesa_spark.sources.table import (_parse_bytes,
+                                                 projected_scan)
+        path, _ = table
+        df = projected_scan(spark, path, ["lon", "lat"])
+        child = df.sparkSession
+        base = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        eff = _parse_bytes(child.conf.get(
+            "spark.sql.files.maxPartitionBytes"))
+        assert eff > base  # narrow projection -> larger splits
+        # full-width projection resizes nothing (same session comes back)
+        full = projected_scan(spark, path, read_images(
+            spark, path).columns)
+        assert full.sparkSession is spark
+
+    def test_cross_session_join(self, spark, table):
+        """A projected scan joins cleanly with parent-session frames."""
+        from geomesa_spark.sources.table import projected_scan
+        path, _ = table
+        df = projected_scan(spark, path, ["image_id", "lon", "lat"])
+        dim = spark.createDataFrame(
+            [(i,) for i in range(0, N, 2)], "id long")
+        joined = df.join(F.broadcast(dim),
+                         df.image_id == F.concat(F.lit("img-"),
+                                                 F.lpad("id", 12, "0")),
+                         "inner")
+        assert joined.count() > 0
