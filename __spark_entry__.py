@@ -36,7 +36,6 @@ KNN_QUERIES = [
 ]
 
 _REGISTERED = set()
-_SHIPPED = set()
 
 
 def _ensure_functions(spark: SparkSession) -> None:
@@ -52,27 +51,11 @@ def _ensure_workers(spark: SparkSession) -> None:
     The driver process can import geomesa_spark through this module's
     sys.path insert, but UDF workers spawn from the JVM with their own
     environment — without this, any pandas-UDF query fails with
-    ModuleNotFoundError when the host runs from a different cwd."""
-    if id(spark) in _SHIPPED:
-        return
-    import tempfile
-    import zipfile
-    root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(),
-                         "geomesa_spark_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-        for base, _, files in os.walk(os.path.join(root, "geomesa_spark")):
-            if "__pycache__" in base:
-                continue
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(base, f)
-                    zf.write(full, os.path.relpath(full, root))
-    try:
-        spark.sparkContext.addPyFile(zpath)
-    except Exception:
-        pass  # e.g. already added under the same name
-    _SHIPPED.add(id(spark))
+    ModuleNotFoundError when the host runs from a different cwd.
+    Shared with the ``jobs/`` entry points via
+    ``geomesa_spark.shipping``."""
+    from geomesa_spark.shipping import ship_package
+    ship_package(spark)
 
 
 def lonlat_cols(id_col: str = "event_id"):

@@ -65,6 +65,8 @@ def main() -> None:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from geomesa_spark.shipping import ship_package
+    ship_package(spark)  # workers need the package from any cwd
 
     corpus = spark.read.parquet(args.table)
     n_rows = corpus.count()

@@ -41,6 +41,8 @@ def main() -> None:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from geomesa_spark.shipping import ship_package
+    ship_package(spark)  # workers need the package from any cwd
 
     summary = ingest_images(spark, args.path, n=args.n,
                             chunk_rows=args.chunk_rows)

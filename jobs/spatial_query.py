@@ -56,6 +56,8 @@ def main() -> None:
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+    from geomesa_spark.shipping import ship_package
+    ship_package(spark)  # workers need the package from any cwd
 
     parts = []
     if args.bbox:
