@@ -32,6 +32,13 @@ def build_spark(cpus: int):
             .config("spark.ui.enabled", "false")
             .config("spark.ui.showConsoleProgress", "false")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+            # GC threads sized like a production executor: G1's default
+            # 5/8*cores = 23 parallel GC threads at local[32] compete with
+            # the 32 task threads + python workers (the scaling campaign's
+            # core-second accounting measured ~28% extra decode core-s
+            # from exactly this churn; see BASELINE.md round-5 notes)
+            .config("spark.driver.extraJavaOptions",
+                    "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
             .getOrCreate())
 
 

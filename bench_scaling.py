@@ -73,14 +73,10 @@ def build_spark(cpus: int, executors: int = 0):
     isolated 4-core executor JVMs.)"""
     from pyspark.sql import SparkSession
     if executors:
-        import subprocess as sp
-        sp.run([sys.executable,
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "tools", "package.py")],
-               check=True, capture_output=True)
-        zip_path = os.path.join(
+        from geomesa_spark.shipping import build_zip
+        zip_path = build_zip(os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "geomesa_spark.zip")
+            "geomesa_spark.zip"))
         master = f"local-cluster[{executors},{CORES_PER_EXECUTOR},8192]"
         b = (SparkSession.builder.master(master)
              .appName(f"geomesa-spark-scaling-x{executors}")
