@@ -57,3 +57,49 @@ def test_lambda_view_merges_batch_and_stream(spark):
     got = {r["key"]: r["payload"] for r in lambda_view(batch, log).collect()}
     # a: stream wins; b: deleted; c: batch survives; d: stream-only
     assert got == {"a": "stream-a", "c": "batch-c", "d": "stream-d"}
+
+
+def test_streaming_density_checkpoint_resume(spark, tmp_path):
+    """jobs/stream_density.py semantics: a second availableNow run over a
+    grown input directory resumes from the checkpoint — already-read
+    files are not reprocessed, and a window lands in the parquet sink
+    exactly once, when later data advances the watermark past its end."""
+    from geomesa_spark.streaming.density import streaming_density
+    src_dir, out, ckpt = (str(tmp_path / n) for n in ("in", "out", "ckpt"))
+    os.makedirs(src_dir)
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).json(src_dir)
+        dens = streaming_density(src, envelope=(0.0, 0.0, 10.0, 10.0),
+                                 width=10, height=10)
+        q = (dens.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def sink_rows():
+        return sorted(
+            (str(r["window_start"])[11:16], r["col"], r["row"], r["weight"])
+            for r in spark.read.schema(
+                "window_start timestamp, col int, row int, weight long"
+            ).parquet(out).collect())
+
+    with open(os.path.join(src_dir, "b1.json"), "w") as f:
+        for r in [{"key": "a", "ts": "2024-01-01T00:01:00",
+                   "lon": 0.5, "lat": 0.5},
+                  {"key": "b", "ts": "2024-01-01T00:02:00",
+                   "lon": 0.7, "lat": 0.7}]:
+            f.write(json.dumps(r) + "\n")
+    run_once()
+    assert sink_rows() == []  # watermark has not passed the window end
+
+    # later file: watermark -> 00:15, closing the 00:00-00:10 window
+    with open(os.path.join(src_dir, "b2.json"), "w") as f:
+        f.write(json.dumps({"key": "c", "ts": "2024-01-01T00:25:00",
+                            "lon": 5.5, "lat": 5.5}) + "\n")
+    run_once()
+    assert sink_rows() == [("00:00", 0, 0, 2)]
+
+    # no new data: resume is a no-op, nothing re-emitted
+    run_once()
+    assert sink_rows() == [("00:00", 0, 0, 2)]
