@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import sys
+import weakref
 from collections.abc import Callable
 
 import numpy as np
@@ -94,12 +95,33 @@ def _regions() -> list[tuple[str, float, float, float, float]]:
     return out
 
 
+# dim frames are cached PER SESSION (weak keys: a stopped session frees
+# them): rebuilding the local relation every query call both pays a
+# createDataFrame round-trip and defeats the spatial_join driver-cover
+# frame memo, which keys on DataFrame object identity
+_DIM_FRAMES: "weakref.WeakKeyDictionary[SparkSession, dict]" = \
+    weakref.WeakKeyDictionary()
+
+
+def _session_dim(spark: SparkSession, key: str,
+                 build: Callable[[], DataFrame]) -> DataFrame:
+    memo = _DIM_FRAMES.setdefault(spark, {})
+    df = memo.get(key)
+    if df is None:
+        df = memo[key] = build()
+    return df
+
+
 def _regions_df(spark: SparkSession) -> DataFrame:
     from geomesa_spark.geo import Polygon, to_wkb
-    rows = [(rid, bytearray(to_wkb(Polygon(
-        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
-        for (rid, x0, y0, x1, y1) in _regions()]
-    return spark.createDataFrame(rows, "region_id string, geom binary")
+
+    def build() -> DataFrame:
+        rows = [(rid, bytearray(to_wkb(Polygon(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
+            for (rid, x0, y0, x1, y1) in _regions()]
+        return spark.createDataFrame(rows, "region_id string, geom binary")
+
+    return _session_dim(spark, "regions", build)
 
 
 def _regions_values_sql() -> str:
@@ -126,10 +148,14 @@ def _wide_regions() -> list[tuple[str, float, float, float, float]]:
 
 def _wide_regions_df(spark: SparkSession) -> DataFrame:
     from geomesa_spark.geo import Polygon, to_wkb
-    rows = [(rid, bytearray(to_wkb(Polygon(
-        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
-        for (rid, x0, y0, x1, y1) in _wide_regions()]
-    return spark.createDataFrame(rows, "region_id string, geom binary")
+
+    def build() -> DataFrame:
+        rows = [(rid, bytearray(to_wkb(Polygon(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))))
+            for (rid, x0, y0, x1, y1) in _wide_regions()]
+        return spark.createDataFrame(rows, "region_id string, geom binary")
+
+    return _session_dim(spark, "wide_regions", build)
 
 
 def _wide_regions_values_sql() -> str:

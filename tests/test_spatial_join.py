@@ -253,3 +253,63 @@ class TestRefineScreenBlindSpots:
         inner = box_poly(2.0, 2.0, 3.0, 3.0)
         straddle = box_poly(9.0, 9.0, 11.0, 11.0)
         self._pairs(spark, [inner, straddle], [outer], "st_within")
+
+
+class TestRectFastPath:
+    """Broadcast joins over axis-aligned rectangles fold the exact
+    predicate into codegen coordinate comparisons (no Python refine
+    stage in the plan); any non-rectangle in the set falls back to the
+    envelope-prefiltered Python refine with identical results."""
+
+    def _pts(self, spark):
+        rows = [(1, 5.0, 5.0),    # interior
+                (2, 0.0, 5.0),    # on edge
+                (3, 10.0, 10.0),  # corner
+                (4, 11.0, 5.0)]   # outside
+        return spark.createDataFrame(rows, "event_id int, lon double, lat double")
+
+    def test_rect_plan_is_pure_jvm(self, spark):
+        regs = spark.createDataFrame(
+            [("R", bytearray(to_wkb(box_poly(0.0, 0.0, 10.0, 10.0))))],
+            "region_id string, geom binary")
+        out = spatial_join(self._pts(spark), regs, predicate="st_contains",
+                           broadcast_regions=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # no Arrow/BatchEvalPython stage
+        assert {r.event_id for r in out.collect()} == {1}
+
+    def test_rect_boundary_semantics(self, spark):
+        regs = spark.createDataFrame(
+            [("R", bytearray(to_wkb(box_poly(0.0, 0.0, 10.0, 10.0))))],
+            "region_id string, geom binary")
+        expected = {"st_contains": {1}, "st_within": {1},
+                    "st_intersects": {1, 2, 3}, "st_covers": {1, 2, 3},
+                    "st_coveredBy": {1, 2, 3}}
+        for pred, want in expected.items():
+            got = {r.event_id for r in
+                   spatial_join(self._pts(spark), regs, predicate=pred,
+                                broadcast_regions=True).collect()}
+            assert got == want, pred
+
+    def test_mixed_set_falls_back_and_agrees(self, spark):
+        # one rect + one triangle: all_rect is False, so the broadcast
+        # path must route through the exact refine and agree with the
+        # distributed (non-broadcast) plan
+        tri = Polygon([[0, 0], [10, 0], [0, 10], [0, 0]])
+        regs = spark.createDataFrame(
+            [("R", bytearray(to_wkb(box_poly(0.0, 0.0, 10.0, 10.0)))),
+             ("T", bytearray(to_wkb(tri)))],
+            "region_id string, geom binary")
+        pts = self._pts(spark)
+        for pred in ("st_contains", "st_intersects"):
+            bc = {(r.event_id, r.region_id) for r in
+                  spatial_join(pts, regs, predicate=pred,
+                               broadcast_regions=True).collect()}
+            dist = {(r.event_id, r.region_id) for r in
+                    spatial_join(pts, regs, predicate=pred).collect()}
+            assert bc == dist, pred
+        # (5,5) lies ON the triangle's hypotenuse: boundary, not interior
+        bc = {(r.event_id, r.region_id) for r in
+              spatial_join(pts, regs, predicate="st_contains",
+                           broadcast_regions=True).collect()}
+        assert ("1", "T") not in {(str(a), b) for a, b in bc}
