@@ -871,10 +871,16 @@ def q_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     lsh_index, lsh_meta = _lsh_index_table(spark, sf_dir)
     ivf_index, cents, ivf_meta = _ivf_index_table(spark, sf_dir)
+    # pass the counts the router would otherwise re-derive per call:
+    # the unfiltered count is parquet-metadata-only, and the query set
+    # is every 50th of the dense 0..n-1 fixture ids, so its size is
+    # arithmetic — no filtered scan job just to feed the cost model
+    n = emb.count()
     out = ann_topk_routed(emb, queries_df, 10,
                           lsh=(lsh_index, lsh_meta),
                           ivf=(ivf_index, cents, ivf_meta),
-                          multiprobe=2, nprobe=_IVF_NPROBE)
+                          multiprobe=2, nprobe=_IVF_NPROBE,
+                          n_rows=n, n_queries=(n + 49) // 50)
     return out.select("query_id", "rank", "vec_id")
 
 

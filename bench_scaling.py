@@ -26,7 +26,11 @@ lets the 8 Python workers overflow onto 24 idle cores, inflating the
 low-parallelism baseline and understating scaling efficiency (round-1
 measured 0.45 unpinned vs 0.70+ pinned for the identical plan).
 
-Usage: python bench_scaling.py [--n-images 60000] [--low 8] [--high 32]
+Usage (the recordable invocation — small --n-images runs are refused
+without --no-md/--force because per-job constants dominate them):
+
+    python bench_scaling.py --cluster --n-images 1920000 \
+        --low 4 --mid 8 --high 16
 """
 
 from __future__ import annotations
@@ -346,6 +350,17 @@ def main() -> None:
         print(json.dumps(r))
         return
 
+    if args.cluster:
+        # every level must translate to a whole executor count: a level
+        # below 4 would silently fall back to single-JVM local[N] (a
+        # different execution mode than its 4N partner), and a level not
+        # divisible by 4 would pin more cores than its executors can use
+        bad = [l for l in (args.low, args.mid, args.high)
+               if l and (l < CORES_PER_EXECUTOR or l % CORES_PER_EXECUTOR)]
+        if bad:
+            ap.error(f"--cluster levels must be multiples of "
+                     f"{CORES_PER_EXECUTOR} cores (one executor = "
+                     f"{CORES_PER_EXECUTOR} cores); got {bad}")
     if (args.n_images < 500_000 and not args.no_md and not args.force):
         # guard the recorded artifact: at small image counts per-job
         # constants (session startup, task scheduling) dominate the

@@ -46,7 +46,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_mat))
-    out_schema = f"{query_id_col} string, {id_col} long, cos double"
+    # derive the id field's type from the corpus: the routed job surface
+    # (`jobs/ann_query.py --id-col`) supports string ids, which a
+    # hardcoded long here would crash in the Arrow batch conversion
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} string, {id_col} {id_type}, cos double"
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qm = bq.value

@@ -443,7 +443,15 @@ def _is_axis_rect(g) -> bool:
     if not (xmax > xmin and ymax > ymin):
         return False
     corners = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
-    return {(float(x), float(y)) for x, y in ring[:-1]} == corners
+    if {(float(x), float(y)) for x, y in ring[:-1]} != corners:
+        return False
+    # The vertex SET alone admits a self-intersecting "bowtie" traversal
+    # of the same four corners (e.g. (0,0)->(1,1)->(1,0)->(0,1)), whose
+    # interior is NOT the envelope — require every edge axis-parallel,
+    # which together with four distinct corner vertices forces a proper
+    # rectangle ring in either winding order.
+    return all(ring[i][0] == ring[i + 1][0] or ring[i][1] == ring[i + 1][1]
+               for i in range(4))
 
 
 def _driver_cover_explode(regions: DataFrame, region_geom: str,

@@ -48,8 +48,13 @@ def ship_package(spark) -> None:
     sc = spark.sparkContext
     if id(sc) in _SHIPPED:
         return
+    # Build OUTSIDE the guard: a zip-build failure (full disk, /tmp zip
+    # owned by another user) must raise here, where it is diagnosable —
+    # swallowing it would cache this context as shipped and every later
+    # pandas-UDF stage would die with a worker-side ModuleNotFoundError.
+    zip_path = build_zip()
     try:
-        sc.addPyFile(build_zip())
+        sc.addPyFile(zip_path)
     except Exception:
         pass  # e.g. already added under the same name by --py-files
     _SHIPPED.add(id(sc))

@@ -71,8 +71,14 @@ def main() -> None:
     corpus = spark.read.parquet(args.table)
     n_rows = corpus.count()
     if args.query_ids:
-        ids = [int(x) for x in args.query_ids.split(",")]
-        qpred = F.col(args.id_col).isin(ids)
+        # type the literals from the table schema (the spatial_query.py
+        # --ids fix): string id columns like 'img-000000002532' must not
+        # crash in int() or silently never match
+        from pyspark.sql.types import NumericType
+        toks = [t.strip() for t in args.query_ids.split(",")]
+        if isinstance(corpus.schema[args.id_col].dataType, NumericType):
+            toks = [int(t) for t in toks]
+        qpred = F.col(args.id_col).isin(toks)
     else:
         qpred = F.col(args.id_col) % args.query_every == 0
     queries = corpus.where(qpred).select(
@@ -109,12 +115,16 @@ def main() -> None:
         ivf_meta=ivf[2] if ivf else None,
         multiprobe=args.multiprobe, nprobe=args.nprobe)
     if args.force:
-        if args.force == "lsh" and lsh is None:
-            ap.error("--force lsh needs a stored LSH index: pass "
-                     "--lsh-index or run with --build-indexes first")
-        if args.force == "ivf" and ivf is None:
-            ap.error("--force ivf needs a stored IVF index: pass "
-                     "--ivf-index or run with --build-indexes first")
+        # a parquet dir whose sidecar is missing loads with meta=None —
+        # treat it as no usable index rather than crashing in dispatch
+        if args.force == "lsh" and (lsh is None or lsh[1] is None):
+            ap.error("--force lsh needs a stored LSH index (with its "
+                     "meta sidecar): pass --lsh-index or run with "
+                     "--build-indexes first")
+        if args.force == "ivf" and (ivf is None or ivf[2] is None):
+            ap.error("--force ivf needs a stored IVF index (with its "
+                     "meta sidecar): pass --ivf-index or run with "
+                     "--build-indexes first")
         decision = router.AnnStrategy(args.force, float("nan"), -1,
                                       "forced by --force")
         orig, router.decide_ann = router.decide_ann, \

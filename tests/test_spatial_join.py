@@ -313,3 +313,28 @@ class TestRectFastPath:
               spatial_join(pts, regs, predicate="st_contains",
                            broadcast_regions=True).collect()}
         assert ("1", "T") not in {(str(a), b) for a, b in bc}
+
+    def test_bowtie_ring_is_not_a_rect(self, spark):
+        # a self-intersecting "bowtie" traversal of the envelope's four
+        # corners has the same vertex SET as the rectangle but a totally
+        # different interior — it must NOT take the rect fast path, and
+        # the broadcast plan must agree with the distributed plan
+        from geomesa_spark.operators.join import _is_axis_rect
+        bow = Polygon([[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]])
+        assert not _is_axis_rect(bow)
+        assert _is_axis_rect(box_poly(0.0, 0.0, 10.0, 10.0))
+        regs = spark.createDataFrame(
+            [("B", bytearray(to_wkb(bow)))], "region_id string, geom binary")
+        pts = self._pts(spark)
+        for pred in ("st_contains", "st_intersects"):
+            bc = {(r.event_id, r.region_id) for r in
+                  spatial_join(pts, regs, predicate=pred,
+                               broadcast_regions=True).collect()}
+            dist = {(r.event_id, r.region_id) for r in
+                    spatial_join(pts, regs, predicate=pred).collect()}
+            assert bc == dist, pred
+        # NOTE: a self-intersecting ring is an INVALID polygon, so the
+        # exact predicate's classification of individual points is
+        # engine-defined (as in JTS) — the contract asserted here is
+        # that the broadcast plan routes through the SAME refine as the
+        # distributed plan instead of folding to envelope comparisons.

@@ -59,9 +59,13 @@ def run_level(k: int, reps: int) -> float:
             ["taskset", "-c", str(i), sys.executable, "-c", _KERNEL,
              str(reps)],
             stdout=subprocess.PIPE, text=True))
-    walls = [float(p.communicate()[0].strip()) for p in procs]
+    outs = [p.communicate()[0] for p in procs]
+    # check returncodes BEFORE parsing: a dead kernel (e.g. taskset core
+    # index beyond nproc) has empty stdout and float('') would mask the
+    # real failure with an opaque ValueError
     if any(p.returncode for p in procs):
         raise RuntimeError("kernel process failed")
+    walls = [float(o.strip()) for o in outs]
     return sum(walls) / len(walls)
 
 
