@@ -277,12 +277,20 @@ def s2_cover_ranges(qx0: float, qy0: float, qx1: float, qy1: float,
     the reference's scan-range form (S2IndexKeySpace.getRangeBytes
     emits BoundedByteRange scan ranges, not cell membership lists).
     """
+    # antimeridian-crossing query (qx0 > qx1): split into the two
+    # world-order lon spans, tested disjunctively against every cell —
+    # the single-interval overlap test rejected EVERY cell for an
+    # inverted box, returning an empty (under-selecting) cover, the one
+    # thing the module contract forbids. z2.bbox_cover splits the same
+    # way (z2.py:170).
+    qspans = [(qx0, qx1)] if qx0 <= qx1 else [(qx0, 180.0), (-180.0, qx1)]
     ranges: list[tuple[int, int]] = []
     queue = deque((f, 0, 0, 0) for f in range(6))  # face, i, j, lvl
     while queue:
         face, i, j, lvl = queue.popleft()
         lat0, lat1, lon0, lon1 = _cell_cap_bbox(face, i, j, lvl)
-        if not _bbox_overlap(qx0, qy0, qx1, qy1, lat0, lat1, lon0, lon1):
+        if not any(_bbox_overlap(a, qy0, b, qy1, lat0, lat1, lon0, lon1)
+                   for a, b in qspans):
             continue
         if lvl == level or len(ranges) + len(queue) * 4 >= max_ranges:
             ranges.append(_cell_range_u(face, i, j, lvl, level))

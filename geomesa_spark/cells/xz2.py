@@ -99,6 +99,23 @@ def xz2_covers(qxmin: float, qymin: float, qxmax: float, qymax: float,
     """
     from collections import deque
 
+    if qxmin > qxmax:
+        # antimeridian-crossing query: the single-interval overlap test
+        # below would reject every deep element (only near-root elements
+        # span both edges), under-selecting — the one thing this function
+        # must never do. Split into the two world-order boxes (the
+        # z2.bbox_cover convention) and re-merge the range union.
+        a = xz2_covers(qxmin, qymin, 180.0, qymax, res, max_ranges // 2)
+        b = xz2_covers(-180.0, qymin, qxmax, qymax, res, max_ranges // 2)
+        both = sorted(a + b)
+        merged = [both[0]]
+        for lo, hi in both[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
     qx0, qy0, qx1, qy1 = (float(v) for v in _norm(qxmin, qymin, qxmax, qymax))
     ranges: list[tuple[int, int]] = []
     # an element at (cx, cy, size) is enlarged to [cx, cx+2s) x [cy, cy+2s);

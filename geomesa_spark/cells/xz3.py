@@ -133,6 +133,23 @@ def xz3_covers(qxmin: float, qymin: float, qxmax: float, qymax: float,
     """
     from collections import deque
 
+    if qxmin > qxmax:
+        # antimeridian-crossing query: split into the two world-order
+        # boxes and re-merge — the single-interval overlap test would
+        # otherwise under-select (see xz2_covers)
+        a = xz3_covers(qxmin, qymin, 180.0, qymax, qt0_s, qt1_s,
+                       res, max_ranges // 2)
+        b = xz3_covers(-180.0, qymin, qxmax, qymax, qt0_s, qt1_s,
+                       res, max_ranges // 2)
+        both = sorted(a + b)
+        merged = [both[0]]
+        for lo, hi in both[1:]:
+            if lo <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+            else:
+                merged.append((lo, hi))
+        return merged
+
     qx0, qy0, qt0, qx1, qy1, qt1 = (
         float(v) for v in _norm3(qxmin, qymin, qt0_s, qxmax, qymax, qt1_s))
     ranges: list[tuple[int, int]] = []

@@ -43,9 +43,19 @@ def binned_time(ts_us) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _bins_1d(v, vmin: float, span: float, res: int) -> np.ndarray:
+    """Bin index per value; NaN and out-of-range map to -1 (the z2
+    ``lonlat_to_bins`` convention — callers route bad rows to the
+    reserved no-cell partition instead of the arbitrary in-range cell
+    that NaN's undefined float->int cast previously produced)."""
     n = np.int64(1) << res
-    x = np.floor((np.asarray(v, dtype=np.float64) - vmin) / span * n)
-    return np.clip(x, 0, float(n - 1)).astype(np.int64)
+    v = np.asarray(v, dtype=np.float64)
+    bad = ~(np.isfinite(v) & (v >= vmin) & (v <= vmin + span))
+    with np.errstate(invalid="ignore"):
+        x = np.floor((np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+                      - vmin) / span * n)
+    out = np.clip(x, 0, float(n - 1)).astype(np.int64)
+    out[bad] = -1
+    return out
 
 
 def _spread3(v: np.ndarray) -> np.ndarray:
@@ -67,7 +77,11 @@ def z3_cell(lon, lat, ts_us, res: int = Z3_RES) -> tuple[np.ndarray, np.ndarray]
     tb = _bins_1d(offset, 0.0, float(WEEK_SECONDS), res)
     z = (_spread3(xb) | (_spread3(yb) << np.uint64(1))
          | (_spread3(tb) << np.uint64(2)))
-    return epoch, z.astype(np.int64)
+    bad = (xb < 0) | (yb < 0) | (tb < 0)
+    # sentinel BOTH outputs (z3_expr does the same): a bad row must not
+    # land in a real (epoch, z) partition
+    return (np.where(bad, np.int64(-1), epoch),
+            np.where(bad, np.int64(-1), z.astype(np.int64)))
 
 
 def z3_decode(z, res: int = Z3_RES) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -125,4 +139,13 @@ def z3_expr(lon, lat, ts, res: int = Z3_RES, prefix_res: int | None = None) -> C
                         3 * i + 2))
     if prefix_res is not None:
         z = F.shiftrightunsigned(z, 3 * (res - prefix_res)).cast("long")
-    return F.struct(epoch.alias("epoch"), z.alias("z3"))
+    # null/NaN/out-of-range guard, matching native.py cell_expr and the
+    # numpy kernel: bad rows get the -1 reserved sentinel instead of an
+    # arbitrary in-range cell (shiftrightunsigned over garbage bins)
+    ok = (lon_c.isNotNull() & lat_c.isNotNull() & t.isNotNull()
+          & ~F.isnan(lon_c.cast("double")) & ~F.isnan(lat_c.cast("double"))
+          & (lon_c >= _LON_MIN) & (lon_c <= _LON_MIN + _LON_SPAN)
+          & (lat_c >= _LAT_MIN) & (lat_c <= _LAT_MIN + _LAT_SPAN))
+    bad = F.lit(-1).cast("long")
+    return F.struct(F.when(ok, epoch).otherwise(bad).alias("epoch"),
+                    F.when(ok, z).otherwise(bad).alias("z3"))

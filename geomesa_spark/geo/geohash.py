@@ -77,10 +77,16 @@ def geohash_expr(lon, lat, prec_bits: int):
     bits = nchars * 5
     nlon = (bits + 1) // 2  # even bit positions (0 = MSB) are longitude
     nlat = bits // 2
-    xb = F.least(F.lit((1 << nlon) - 1),
-                 F.floor((lon + 180.0) / 360.0 * (1 << nlon))).cast("long")
-    yb = F.least(F.lit((1 << nlat) - 1),
-                 F.floor((lat + 90.0) / 180.0 * (1 << nlat))).cast("long")
+    # clamp BOTH ends (native.py _bin_expr convention): a below-range
+    # coordinate would otherwise give a negative bin whose
+    # shiftrightunsigned bits are all 1s — a 'zz…' hash at the NE corner
+    # while the Python encode() bisection emits '00…' at the SW corner
+    xb = F.greatest(F.lit(0), F.least(
+        F.lit((1 << nlon) - 1),
+        F.floor((lon + 180.0) / 360.0 * (1 << nlon)))).cast("long")
+    yb = F.greatest(F.lit(0), F.least(
+        F.lit((1 << nlat) - 1),
+        F.floor((lat + 90.0) / 180.0 * (1 << nlat)))).cast("long")
     val = F.lit(0).cast("long")
     for i in range(nlon):  # lon bit i (MSB-first) -> output bit bits-1-2i
         val = val.bitwiseOR(

@@ -167,6 +167,26 @@ def _all_segments(g: Geometry):
                 yield from _segments(r)
 
 
+def _part_points(g: Geometry) -> list[tuple[float, float]]:
+    """One representative vertex per connected part of ``g``.
+
+    A part whose linework does not cross the other geometry lies wholly
+    inside or wholly outside it, so ONE point per part decides interior
+    containment — testing only the first point of the whole geometry
+    (the previous form) missed multi-part inputs whose later parts are
+    the contained ones."""
+    reps = []
+    for p in flatten(g):
+        if isinstance(p, Point) and not p.is_empty():
+            reps.append((p.x, p.y))
+        elif isinstance(p, LineString) and len(p.coords):
+            reps.append((float(p.coords[0, 0]), float(p.coords[0, 1])))
+        elif isinstance(p, Polygon) and not p.is_empty():
+            r = p.rings()[0]
+            reps.append((float(r[0, 0]), float(r[0, 1])))
+    return reps
+
+
 def closest_point(a: Geometry, b: Geometry) -> Point:
     """The point ON a closest to b (JTS DistanceOp semantics, as used by
     st_closestPoint)."""
@@ -192,9 +212,12 @@ def closest_point(a: Geometry, b: Geometry) -> Point:
                 if d < best[0]:
                     best = (d, px, py)
     # interior containment -> distance zero at the contained point
-    for (px, py) in pts_b[:1]:
+    # (one representative per PART of b: later parts of a multi-geometry
+    # can be the contained ones)
+    for (px, py) in _part_points(b):
         if locate(a, px, py) != "E":
             best = (0.0, px, py)
+            break
     return Point(best[1], best[2])
 
 
@@ -205,8 +228,8 @@ def distance(a: Geometry, b: Geometry) -> float:
     pb = _all_points(b)
     if len(pa) == 0 or len(pb) == 0:
         return float("nan")
-    if any(locate(a, x, y) != "E" for x, y in pb[:1]) or \
-       any(locate(b, x, y) != "E" for x, y in pa[:1]):
+    if any(locate(a, x, y) != "E" for x, y in _part_points(b)) or \
+       any(locate(b, x, y) != "E" for x, y in _part_points(a)):
         return 0.0
     segs_a = list(_all_segments(a))
     segs_b = list(_all_segments(b))
@@ -360,6 +383,10 @@ def _cross(o, a, b) -> float:
 
 
 def convex_hull(g: Geometry) -> Geometry:
+    """Convex hull of a single geometry (JTS Geometry.convexHull semantics:
+    point for <=1 distinct vertex, line for 2 collinear-degenerate input,
+    CCW polygon otherwise). Backs the scalar st_convexHull function; the
+    grouped aggregate lives in operators/export.py."""
     return convex_hull_points(_all_points(g))
 
 
@@ -374,33 +401,3 @@ def translate(g: Geometry, dx: float, dy: float) -> Geometry:
     return cls([translate(p, dx, dy) for p in g.parts])
 
 
-def convex_hull(g: Geometry) -> Geometry:
-    """Convex hull of a single geometry (JTS Geometry.convexHull semantics:
-    point for <=1 distinct vertex, line for 2 collinear-degenerate input,
-    CCW polygon otherwise). Backs the scalar st_convexHull function; the
-    grouped aggregate lives in operators/export.py."""
-    pts = _all_points(g)
-    if len(pts) == 0:
-        return Polygon(np.empty((0, 2)))
-    uniq = np.unique(pts, axis=0)
-    if len(uniq) == 1:
-        return Point(float(uniq[0, 0]), float(uniq[0, 1]))
-    plist = [(float(a), float(b)) for a, b in uniq]
-
-    def half(p):
-        out = []
-        for (vx, vy) in p:
-            while len(out) >= 2:
-                (ax, ay), (bx, by) = out[-2], out[-1]
-                if (bx - ax) * (vy - ay) - (by - ay) * (vx - ax) <= 0:
-                    out.pop()
-                else:
-                    break
-            out.append((vx, vy))
-        return out
-    lower = half(plist)
-    upper = half(plist[::-1])
-    hull = lower[:-1] + upper[:-1]
-    if len(hull) == 2:
-        return LineString([list(hull[0]), list(hull[1])])
-    return Polygon([list(p) for p in hull] + [list(hull[0])])

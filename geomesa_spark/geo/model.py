@@ -181,6 +181,8 @@ def num_geometries(g: Geometry) -> int:
 def geometry_n(g: Geometry, n: int) -> Geometry:
     """1-based, as in the reference's st_geometryN
     (GeometricAccessorFunctions.scala:31)."""
+    if n < 1:  # guard Python negative indexing: parts[0-1] is the LAST part
+        raise IndexError(n)
     if isinstance(g, _Multi):
         return g.parts[n - 1]
     if n == 1:

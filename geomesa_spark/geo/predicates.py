@@ -72,18 +72,21 @@ def _seg_intersection(a1, a2, b1, b2):
         t = d1 / (d1 - d2)
         return "point", (ax + t * (bx - ax), ay + t * (by - ay))
     if d1 == 0 and d2 == 0 and d3 == 0 and d4 == 0:
-        # collinear: project onto dominant axis
+        # collinear: order along the dominant axis — the SAME key must
+        # drive both the sort and the lo/hi comparisons (sorting by y but
+        # comparing tuples x-first picked wrong endpoints for steep
+        # negative-slope segments, where x decreases as y increases)
         if abs(bx - ax) >= abs(by - ay):
-            pts = sorted([(ax, ay), (bx, by)])
-            qts = sorted([(cx, cy), (dx, dy)])
+            key = lambda p: (p[0], p[1])  # noqa: E731
         else:
-            pts = sorted([(ax, ay), (bx, by)], key=lambda p: p[1])
-            qts = sorted([(cx, cy), (dx, dy)], key=lambda p: p[1])
-        lo = max(pts[0], qts[0])
-        hi = min(pts[1], qts[1])
-        if lo > hi:
+            key = lambda p: (p[1], p[0])  # noqa: E731
+        pts = sorted([(ax, ay), (bx, by)], key=key)
+        qts = sorted([(cx, cy), (dx, dy)], key=key)
+        lo = max(pts[0], qts[0], key=key)
+        hi = min(pts[1], qts[1], key=key)
+        if key(lo) > key(hi):
             return "none", None
-        if lo == hi:
+        if key(lo) == key(hi):
             return "point", lo
         return "overlap", (lo, hi)
     # non-collinear touching cases

@@ -159,8 +159,22 @@ def antimeridian_safe(g: Geometry) -> Geometry:
                 pieces.extend(LineString(c)
                               for c in _clip_line_to_box(part.coords, _WORLD))
             elif isinstance(part, Polygon):
-                clipped = clip_polygon_convex(part, world_poly) \
-                    if px0 < -180.0 or px1 > 180.0 else part
+                if px0 < -180.0 or px1 > 180.0:
+                    if part.holes:
+                        # the convex fast path clips only the shell —
+                        # silently re-including hole regions; holed
+                        # parts take the general overlay instead
+                        from geomesa_spark.geo.overlay import (
+                            polygon_intersection,
+                        )
+                        clipped = polygon_intersection(part, world_poly)
+                        pieces.extend(
+                            p for p in flatten(clipped)
+                            if isinstance(p, Polygon) and not p.is_empty())
+                        continue
+                    clipped = clip_polygon_convex(part, world_poly)
+                else:
+                    clipped = part
                 if clipped is not None and not clipped.is_empty():
                     pieces.append(clipped)
     if len(pieces) == 1:
@@ -759,18 +773,26 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     if da == 1 and db >= 1:
         pieces: list[LineString] = []
         from geomesa_spark.geo.predicates import _linework, _split_samples
-        mids, ipts, _ = _split_samples(_linework(a), _linework(b))
+        # da == 1 guarantees no polygon parts, so _linework(a) is exactly
+        # a's line chains — iterate it unconditionally (the previous
+        # isinstance(LineString/MultiLineString) guard silently dropped
+        # the linework of a dim-1 GeometryCollection)
+        lines_a = _linework(a)
+        lines_b = _linework(b)
         # keep sub-segments of a whose midpoint is in b (closure)
-        for la in _linework(a) if isinstance(a, (LineString, MultiLineString)) else []:
+        for la in lines_a:
             for s1, s2 in _segments(la):
-                subs = _subsegments(s1, s2, _linework(b))
-                for p, q in subs:
+                for p, q in _subsegments(s1, s2, lines_b):
                     m = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
                     if locate(b, m[0], m[1]) != "E":
                         pieces.append(LineString([p, q]))
         if pieces:
             merged = _merge_lines(pieces)
             return merged[0] if len(merged) == 1 else MultiLineString(merged)
+        # no 1D overlap: the intersection is the crossing/touch points —
+        # only now pay for the noding pass (it duplicates _subsegments'
+        # O(n*m) work, so it must not run on the common overlap path)
+        _, ipts, _ = _split_samples(lines_a, lines_b)
         kept = [Point(*p) for p in ipts]
         return kept[0] if len(kept) == 1 else MultiPoint(kept)
     # polygon vs polygon: convex hole-free clipper -> Sutherland-Hodgman
