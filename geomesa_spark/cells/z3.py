@@ -114,7 +114,16 @@ def z3_expr(lon, lat, ts, res: int = Z3_RES, prefix_res: int | None = None) -> C
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     t = F.col(ts) if isinstance(ts, str) else ts
-    sec = F.floor(t.cast("timestamp").cast("double")).cast("long")
+    # null-safe leaves: the fold below must stay UNCONDITIONAL (CASE/IF
+    # branches are excluded from whole-stage-codegen subexpression
+    # elimination, so wrapping the 3*res-op Morton fold in a guard
+    # re-evaluates each bin per bit — measured 3.4x on the z3 heatmap);
+    # nulls are made harmless here at the leaves and bad rows are
+    # sentineled at the end with branch-free bit math instead
+    lon_s = F.coalesce(lon_c.cast("double"), F.lit(0.0))
+    lat_s = F.coalesce(lat_c.cast("double"), F.lit(0.0))
+    t_s = F.coalesce(t.cast("timestamp"), F.lit(0).cast("timestamp"))
+    sec = F.floor(t_s.cast("double")).cast("long")
     epoch = F.floor(sec / WEEK_SECONDS).cast("long")
     offset = (sec - epoch * WEEK_SECONDS).cast("double")
 
@@ -123,8 +132,8 @@ def z3_expr(lon, lat, ts, res: int = Z3_RES, prefix_res: int | None = None) -> C
         raw = F.floor((v - F.lit(vmin)) / F.lit(span) * F.lit(float(n)))
         return F.greatest(F.least(raw, F.lit(n - 1)), F.lit(0)).cast("long")
 
-    xb = bins(lon_c, _LON_MIN, _LON_SPAN)
-    yb = bins(lat_c, _LAT_MIN, _LAT_SPAN)
+    xb = bins(lon_s, _LON_MIN, _LON_SPAN)
+    yb = bins(lat_s, _LAT_MIN, _LAT_SPAN)
     tb = bins(offset, 0.0, float(WEEK_SECONDS))
     z = F.lit(0).cast("long")
     for i in range(res):
@@ -141,11 +150,14 @@ def z3_expr(lon, lat, ts, res: int = Z3_RES, prefix_res: int | None = None) -> C
         z = F.shiftrightunsigned(z, 3 * (res - prefix_res)).cast("long")
     # null/NaN/out-of-range guard, matching native.py cell_expr and the
     # numpy kernel: bad rows get the -1 reserved sentinel instead of an
-    # arbitrary in-range cell (shiftrightunsigned over garbage bins)
+    # arbitrary in-range cell. Branch-free: m is all-ones when the row is
+    # valid, all-zeros otherwise, so (v & m) | ~m is v-or-minus-one with
+    # no conditional around the expensive fold (see the CSE note above).
     ok = (lon_c.isNotNull() & lat_c.isNotNull() & t.isNotNull()
           & ~F.isnan(lon_c.cast("double")) & ~F.isnan(lat_c.cast("double"))
           & (lon_c >= _LON_MIN) & (lon_c <= _LON_MIN + _LON_SPAN)
           & (lat_c >= _LAT_MIN) & (lat_c <= _LAT_MIN + _LAT_SPAN))
-    bad = F.lit(-1).cast("long")
-    return F.struct(F.when(ok, epoch).otherwise(bad).alias("epoch"),
-                    F.when(ok, z).otherwise(bad).alias("z3"))
+    m = -F.coalesce(ok, F.lit(False)).cast("long")
+    return F.struct(
+        epoch.bitwiseAND(m).bitwiseOR(F.bitwise_not(m)).alias("epoch"),
+        z.bitwiseAND(m).bitwiseOR(F.bitwise_not(m)).alias("z3"))
