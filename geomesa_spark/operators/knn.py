@@ -157,7 +157,8 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
     out_schema = None
     order = [F.col("dist_m")] + [F.col(c) for c in (tiebreak or [])]
 
-    for _ in range(max_rounds):
+    last_live_rows: list = []  # belt-and-braces flush (see loop exit)
+    for round_i in range(max_rounds):
         if not live:
             break
         rows = []
@@ -205,6 +206,12 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
             done_rows += [r for r in ranked_rows if r.query_id in emit]
             for qid in emit:
                 del live[qid]
+        last_live_rows = [r for r in ranked_rows if r.query_id in live]
+        # growth must reach max_radius_m with one scan round to spare, or
+        # the exhausted check above can never fire and a query that keeps
+        # finding k-1 neighbors would fall out of the loop UNANSWERED;
+        # force the remaining rounds to close the gap geometrically
+        steps_left = max(1, max_rounds - 1 - round_i)
         for qid in live:
             # reference growth policy (KnnWindow): jump on an empty
             # window, otherwise re-estimate from the OBSERVED local
@@ -213,7 +220,14 @@ def knn_join(points: DataFrame, queries: list[tuple[str, float, float]],
             m = counts.get(qid, 0)
             grow = 4.0 if m == 0 \
                 else max(1.6, math.sqrt(k / m) * 1.4)
+            grow = max(grow, (max_radius_m / live[qid]) ** (1.0 / steps_left))
             live[qid] = min(max_radius_m, live[qid] * grow)
+    if live and last_live_rows:
+        # unreachable with the forced growth above unless max_rounds == 1;
+        # emit the confirmed neighbors found so far (every candidate with
+        # dist <= the query's window is a true nearest neighbor) rather
+        # than silently omitting the query
+        done_rows += last_live_rows
     if out_schema is None:
         return spark.createDataFrame([], "query_id string, rank int, dist_m double")
     return spark.createDataFrame(done_rows, out_schema)

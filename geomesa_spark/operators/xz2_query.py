@@ -52,7 +52,11 @@ def coalesce_ranges(ranges: list[tuple[int, int]],
         return ranges
     gaps = sorted(range(1, len(ranges)),
                   key=lambda i: ranges[i][0] - ranges[i - 1][1])
-    keep_breaks = set(sorted(gaps[-(max_n - 1):]))  # widest gaps survive
+    # widest max_n-1 gaps survive as breaks; NOTE gaps[-(max_n-1):] is
+    # the WHOLE list when max_n == 1 (negative-zero slice), which kept
+    # every break and returned the input unmerged
+    keep_breaks = set(gaps[len(gaps) - (max_n - 1):]) if max_n > 1 \
+        else set()
     out = []
     cur_lo, cur_hi = ranges[0]
     for i in range(1, len(ranges)):

@@ -58,8 +58,15 @@ def cell_cover_of_geometry(geom: Geometry, res: int = PARTITION_RES,
             if use_res < 0:
                 return None
     if use_res != res:
-        # caller's partition column is at ``res``; recompute at res from the
-        # coarse cells' bounds (still a valid over-selection)
+        # caller's partition column is at ``res``; recompute at res from
+        # the coarse cells' bounds (still a valid over-selection). The
+        # re-expansion is by construction >= the cover the budget just
+        # rejected, so it must honor the budget too: past one coarsening
+        # step of slack (4x), a six-figure isin literal list costs more
+        # than scanning + exact refine — return None (no prune) instead
+        # of defeating the ScanRangesTarget budget the ValueError enforces.
+        if len(cover) << (2 * (res - use_res)) > 4 * max_cells:
+            return None
         lo0, la0, lo1, la1 = cell_bounds(cover, use_res)
         cover = np.unique(np.concatenate([
             bbox_cover(a, b, c, d, res=res, max_cells=1 << 31)

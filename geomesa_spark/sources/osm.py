@@ -98,7 +98,14 @@ def osm_way_geometries(nodes: DataFrame, ways: DataFrame,
                     F.posexplode("refs").alias("pos", "node_id"))
     n_refs = ways.select(
         "way_id", F.size("refs").alias("__n_refs__"), "tags")
-    joined = m.join(nodes.select("node_id", "lon", "lat"), "node_id")
+    # dedupe node ids first: overlapping regional extracts legitimately
+    # repeat nodes, and a duplicated id would match each ref position
+    # twice, inflating __n_got__ past __n_refs__ below (the completeness
+    # check would then NULL-out — and drop_incomplete delete — every way
+    # touching that node)
+    uniq_nodes = (nodes.select("node_id", "lon", "lat")
+                  .dropDuplicates(["node_id"]))
+    joined = m.join(uniq_nodes, "node_id")
     coords = (joined.groupBy("way_id")
               .agg(F.sort_array(F.collect_list(
                   F.struct("pos", "lon", "lat"))).alias("pts")))

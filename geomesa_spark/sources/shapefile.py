@@ -272,6 +272,10 @@ def read_shapefile(spark, path: str):
 
     parsed = files.mapInPandas(
         parse, "stem string, idx long, geom binary, attrs_json string")
+    # the self-join below consumes `parsed` twice; lazy lineage would
+    # re-run the binaryFile scan + .shp/.dbf Python parse once per side
+    # (same pattern as text/dedup.py's tokenization checkpoint)
+    parsed = parsed.localCheckpoint(eager=False)
     g = parsed.where(F.col("geom").isNotNull()) \
         .select("stem", "idx", "geom")
     a = parsed.where(F.col("attrs_json").isNotNull()) \

@@ -53,6 +53,11 @@ def lambda_view(batch: DataFrame, log: DataFrame, *, key: str = "key",
     Result: one row per live key — the log's latest state where present
     (deletes remove the key entirely), else the batch row.
     """
+    if seq and seq not in log.columns:
+        # the log carries no sequence column (it's optional); ordering
+        # falls back to the timestamp alone — keeping the default 'seq'
+        # would reference a column the combined frame doesn't have
+        seq = None
     b = batch.withColumn("op", F.lit("put"))
     if seq and seq not in b.columns:
         # batch rows always lose ties against stream rows

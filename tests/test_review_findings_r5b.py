@@ -1,0 +1,108 @@
+"""Regression tests for the second round-5 adversarial review batch.
+
+Each test pins one fixed defect:
+- coalesce_ranges(max_n=1) returned the input unmerged (negative-zero slice)
+- knn_join silently dropped queries that never reached k neighbors before
+  max_rounds (window growth never forced to max_radius_m)
+- cell_cover_of_geometry re-expanded a budget-coarsened cover back to full
+  resolution, defeating the ScanRangesTarget budget with a huge isin list
+- osm_way_geometries inflated member counts when the node table carried
+  duplicate node ids (overlapping regional extracts), dropping whole ways
+- lambda_view crashed when the changelog lacked the optional seq column
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestCoalesceRangesBudget:
+    def test_max_n_one_merges_everything(self):
+        from geomesa_spark.operators.xz2_query import coalesce_ranges
+        r = [(0, 5), (10, 20), (100, 110)]
+        assert coalesce_ranges(r, 1) == [(0, 110)]
+
+    def test_max_n_two_keeps_widest_gap(self):
+        from geomesa_spark.operators.xz2_query import coalesce_ranges
+        r = [(0, 5), (10, 20), (100, 110)]
+        assert coalesce_ranges(r, 2) == [(0, 20), (100, 110)]
+
+    def test_under_budget_untouched(self):
+        from geomesa_spark.operators.xz2_query import coalesce_ranges
+        r = [(0, 5), (10, 20)]
+        assert coalesce_ranges(r, 4) == r
+
+
+class TestKnnExhaustionEmits:
+    def test_fewer_points_than_k_still_answered(self, spark):
+        """3 points total, k=5: the query must come back with all 3
+        confirmed neighbors instead of vanishing from the output."""
+        from geomesa_spark.operators.knn import knn_join
+        pts = spark.createDataFrame(
+            [(1, 0.1, 0.1), (2, -0.2, 0.3), (3, 0.4, -0.1)],
+            "id long, lon double, lat double")
+        out = knn_join(pts, [("q", 0.0, 0.0)], k=5,
+                       estimated_count=3, max_rounds=4).collect()
+        assert sorted(r.id for r in out) == [1, 2, 3]
+        assert sorted(r.rank for r in out) == [1, 2, 3]
+
+    def test_tight_max_rounds_flush(self, spark):
+        """max_rounds=1 can't reach max_radius; the loop-exit flush must
+        still emit the confirmed neighbors found in the only round."""
+        from geomesa_spark.operators.knn import knn_join
+        pts = spark.createDataFrame(
+            [(1, 0.01, 0.01), (2, 0.02, 0.0)],
+            "id long, lon double, lat double")
+        out = knn_join(pts, [("q", 0.0, 0.0)], k=5, estimated_count=2,
+                       initial_radius_m=50000.0, max_rounds=1).collect()
+        assert sorted(r.id for r in out) == [1, 2]
+
+
+class TestCoverBudgetHonored:
+    def test_huge_reexpansion_returns_no_prune(self):
+        """A near-world polygon with a tiny budget: coarsening succeeds
+        but re-expanding to partition res would blow the budget by far
+        more than the 4x slack -> None (scan + exact refine), never a
+        six-figure isin list."""
+        from geomesa_spark.geo.model import Polygon
+        from geomesa_spark.plans.planner import cell_cover_of_geometry
+        near_world = Polygon([[-180.0, -90.0], [180.0, -90.0],
+                              [180.0, 89.0], [-180.0, 89.0],
+                              [-180.0, -90.0]])
+        assert cell_cover_of_geometry(near_world, max_cells=4) is None
+
+    def test_small_query_still_prunes(self):
+        from geomesa_spark.geo.model import Polygon
+        from geomesa_spark.plans.planner import cell_cover_of_geometry
+        small = Polygon([[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0],
+                         [0.0, 0.0]])
+        cover = cell_cover_of_geometry(small)
+        assert cover is not None and 0 < len(cover) <= 16
+
+
+class TestOsmDuplicateNodes:
+    def test_duplicated_node_id_does_not_drop_way(self, spark):
+        from geomesa_spark.sources.osm import osm_way_geometries
+        nodes = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 0.0), (1, 0.0, 0.0)],
+            "node_id long, lon double, lat double")
+        ways = spark.createDataFrame(
+            [(10, [1, 2], {"highway": "residential"})],
+            "way_id long, refs array<long>, tags map<string,string>")
+        out = osm_way_geometries(nodes, ways).collect()
+        assert len(out) == 1
+        assert out[0].n_points == 2
+        assert out[0].geom is not None
+
+
+class TestLambdaViewOptionalSeq:
+    def test_log_without_seq_column(self, spark):
+        from geomesa_spark.streaming.density import lambda_view
+        batch = spark.createDataFrame(
+            [("a", 1.0, "batch"), ("b", 1.0, "batch")],
+            "key string, ts double, val string")
+        log = spark.createDataFrame(
+            [("a", "put", 2.0, "stream"), ("c", "put", 2.0, "stream")],
+            "key string, op string, ts double, val string")
+        rows = {r.key: r.val for r in lambda_view(batch, log).collect()}
+        assert rows == {"a": "stream", "b": "batch", "c": "stream"}
