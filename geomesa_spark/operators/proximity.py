@@ -20,48 +20,16 @@ refine contract as the rest of the engine.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, functions as F
 
-from geomesa_spark.cells import PARTITION_RES, bbox_cover
+from geomesa_spark.cells import PARTITION_RES
 from geomesa_spark.cells.native import cell_expr
+# _window_cells is the ONE radius-window cover implementation
+# (poleward-cos over-cover, antimeridian wrap via bbox_cover's split —
+# Envelope.toWorld semantics, KNearestNeighborSearchProcess.scala:524-544);
+# a second local copy here once diverged from it, so share it instead
 from geomesa_spark.operators.knn import (_METRIC_UDF, _METRIC_WINDOW_SLACK,
-                                         udf_haversine)
-
-EARTH_R = 6371008.7714
-DEG_M = math.pi * EARTH_R / 180.0  # meters per degree of latitude
-
-
-def _window_cells(qlon: float, qlat: float, radius_m: float,
-                  res: int) -> list[int]:
-    """Cover of the radius window, wrapping across the antimeridian
-    (Envelope.toWorld semantics, KNearestNeighborSearchProcess.scala:
-    524-544: windows crossing ±180 split into two covers)."""
-    dlat = radius_m / DEG_M
-    # cos at the POLEWARD edge of the window, not the query center:
-    # the cover may over-select, never under-select (matches knn.py's
-    # _window_cells; the center-latitude cos under-covers near the poles)
-    phi_m = min(abs(qlat) + dlat, 89.999)
-    coslat = max(math.cos(math.radians(phi_m)), 1e-9)
-    dlon = min(radius_m / (DEG_M * coslat), 360.0)
-    y0, y1 = max(qlat - dlat, -90.0), min(qlat + dlat, 90.0)
-    spans = []
-    x0, x1 = qlon - dlon, qlon + dlon
-    if x1 - x0 >= 360.0:
-        spans.append((-180.0, 180.0))
-    else:
-        if x0 < -180.0:
-            spans.append((x0 + 360.0, 180.0))
-            x0 = -180.0
-        if x1 > 180.0:
-            spans.append((-180.0, x1 - 360.0))
-            x1 = 180.0
-        spans.append((x0, x1))
-    cells: set[int] = set()
-    for (a, b) in spans:
-        cells.update(int(c) for c in bbox_cover(a, y0, b, y1, res))
-    return sorted(cells)
+                                         _window_cells, udf_haversine)
 
 
 def proximity_join(points: DataFrame,

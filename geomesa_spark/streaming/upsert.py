@@ -87,7 +87,11 @@ def upsert_stream(events: DataFrame, *, ttl_seconds: int | None = None,
         rows = rows.sort_values(["_ts_ms", "seq"])
         last = rows.iloc[-1]
         cur = state.get if state.exists else None
-        cur_key = (cur[0], cur[4]) if cur else (-1, -1)
+        # without a real seq column the synthetic per-batch index is
+        # incommensurable across micro-batches (batch 2's seq restarts
+        # at 0): staleness is then decided on ts alone, same-ts arrivals
+        # from a LATER batch win (arrival order = last write)
+        cur_key = (cur[0], cur[4] if has_seq else -1) if cur else (-1, -1)
         if (int(last["_ts_ms"]), int(last["seq"])) < cur_key:
             return  # stale arrivals only; state unchanged
         if last["op"] == "delete":
