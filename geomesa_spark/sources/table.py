@@ -16,13 +16,21 @@ gives the same partition-filter behavior (verified in tests via
 ``df.inputFiles()``).
 
 Resumability: ingest proceeds in deterministic index-range chunks; each
-committed chunk appends (a) its rows, partitioned by cell, and (b) one
-lineage row per (chunk, cell_prefix) with row counts + payload byte totals
-to ``_lineage/``. Resume = anti-set of committed chunk ids — cheap because
-the fixture is a pure function of the row index (fixtures.py). A chunk
-whose lineage row is absent is re-ingested atomically (overwrite by chunk
-subdirectory is not needed: chunk files are suffixed and the lineage row is
-the commit marker, written last)."""
+committed chunk appends (a) its rows, partitioned by (cell, chunk), and
+(b) one lineage row per (chunk, cell_prefix) with row counts + payload
+byte totals to ``_lineage/``. Resume = anti-set of committed chunk ids —
+cheap because the fixture is a pure function of the row index
+(fixtures.py). The lineage row is the commit marker, written last; a
+chunk whose marker is absent is re-ingested EXACTLY-ONCE because the
+second directory level ``ingest_chunk=c`` lets the resume path first
+delete any orphaned files a crash left between the data write and the
+marker write (the Iceberg discipline: uncommitted data files are
+unreachable and cleaned, never double-counted).
+
+Compatibility: tables written before the two-level layout (ingest_chunk
+as a data column only) read and resume fine when COMPLETE; extending a
+partially-ingested old-layout table with this code would mix directory
+depths, which Spark's partition discovery rejects — re-ingest those."""
 
 from __future__ import annotations
 
@@ -34,12 +42,15 @@ LINEAGE_DIR = "_lineage"
 
 def write_partitioned(df: DataFrame, path: str, *,
                       partition_col: str = "cell_prefix",
-                      mode: str = "append") -> None:
-    """Write partitioned by cell, nulls routed to the reserved partition."""
+                      mode: str = "append",
+                      extra_partition_cols: tuple[str, ...] = ()) -> None:
+    """Write partitioned by cell (plus optional sub-levels, e.g. the
+    ingest chunk), nulls routed to the reserved partition."""
     out = df.withColumn(
         partition_col,
         F.coalesce(F.col(partition_col), F.lit(RESERVED_CELL)))
-    out.write.partitionBy(partition_col).mode(mode).parquet(path)
+    out.write.partitionBy(partition_col, *extra_partition_cols) \
+        .mode(mode).parquet(path)
 
 
 def write_images(df: DataFrame, path: str, *, res: int | None = None,
@@ -173,12 +184,12 @@ def read_snapshot(spark: SparkSession, path: str, *,
     """Time-travel read: the table as of commit ``as_of_chunk``
     (inclusive) — Iceberg's snapshot-id read expressed Spark-native.
 
-    Every ingest commit stamps its rows (and therefore its files — one
-    commit per file) with ``ingest_chunk``, so the snapshot predicate
-    reaches parquet footer min/max stats and SKIPS whole files of later
-    commits: the same file-level pruning an Iceberg manifest provides,
-    without a metadata service. ``as_of_chunk=None`` reads the current
-    snapshot."""
+    Every ingest commit writes its files under their own
+    ``ingest_chunk=c`` partition directory, so the snapshot predicate is
+    partition pruning — directories of later commits are never even
+    listed into the scan: the same commit-level pruning an Iceberg
+    manifest provides, without a metadata service. ``as_of_chunk=None``
+    reads the current snapshot."""
     df = spark.read.parquet(path)
     if as_of_chunk is not None:
         df = df.where(F.col("ingest_chunk") <= as_of_chunk)
@@ -218,8 +229,11 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
     cell-partitioned table. Returns a summary dict.
 
     Chunk c covers row indexes [c*chunk_rows, min((c+1)*chunk_rows, n)).
-    Already-committed chunks (present in lineage) are skipped, so a killed
-    job re-run with the same arguments completes exactly once per row.
+    Already-committed chunks (present in lineage) are skipped, and a
+    chunk that died between its data write and its lineage marker has
+    its orphaned ``ingest_chunk=c`` partition directories deleted before
+    the re-write, so a killed job re-run with the same arguments
+    completes exactly once per row.
     """
     from geomesa_spark.cells import PARTITION_RES
     from geomesa_spark.cells.native import cell_expr
@@ -231,6 +245,10 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
     for c in range(n_chunks):
         if c in done:
             continue
+        # a previous attempt may have written this chunk's data and died
+        # before the commit marker: its files are orphans that a bare
+        # re-append would duplicate — remove them first (idempotent)
+        _scrub_uncommitted_chunk(spark, path, c)
         lo, hi = c * chunk_rows, min((c + 1) * chunk_rows, n)
         parts = partitions_per_chunk or max(
             2, spark.sparkContext.defaultParallelism)
@@ -243,13 +261,31 @@ def ingest_images(spark: SparkSession, path: str, *, n: int,
         # (chunk, cell) instead of partitions x cells tiny files — the
         # file-compaction discipline an Iceberg writer applies
         chunk = chunk.repartition("cell_prefix")
-        write_partitioned(chunk, path, mode="append")
+        write_partitioned(chunk, path, mode="append",
+                          extra_partition_cols=("ingest_chunk",))
         # lineage row written last = commit marker for the chunk
         lin = (read_chunk_lineage(spark, path, chunk, c))
         lin.write.mode("append").parquet(f"{path}/{LINEAGE_DIR}")
         ingested.append(c)
     return {"n_chunks": n_chunks, "ingested": ingested,
             "skipped": sorted(done)}
+
+
+def _scrub_uncommitted_chunk(spark: SparkSession, path: str,
+                             chunk_id: int) -> None:
+    """Delete the ``cell_prefix=*/ingest_chunk=<chunk_id>`` partition
+    directories left by an attempt that died before its commit marker.
+    Goes through the Hadoop FileSystem API so it works on any scheme the
+    table lives on (local, HDFS, S3A), not just the local fs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    glob = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/cell_prefix=*/ingest_chunk={chunk_id}")
+    statuses = fs.globStatus(glob)
+    if statuses is not None:
+        for st in statuses:
+            fs.delete(st.getPath(), True)
 
 
 def _images_range(spark: SparkSession, lo: int, hi: int, parts: int):

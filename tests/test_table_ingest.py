@@ -191,13 +191,17 @@ class TestSnapshotRead:
         assert sum(r["n_rows"] for r in hist) == 300
 
     def test_snapshot_predicate_reaches_scan(self, spark, tmp_path):
+        """ingest_chunk is a partition directory level, so the snapshot
+        predicate must show up as partition PRUNING (stronger than the
+        old footer-stats pushdown: later commits' dirs are never even
+        listed into the scan)."""
         from geomesa_spark.sources.table import (ingest_images,
                                                  read_snapshot)
         p = str(tmp_path / "tt2")
         ingest_images(spark, p, n=200, chunk_rows=100)
         plan = read_snapshot(spark, p, as_of_chunk=0) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "ingest_chunk" in plan.split("PushedFilters: [", 1)[1] \
+        assert "ingest_chunk" in plan.split("PartitionFilters: [", 1)[1] \
             .split("]", 1)[0]
 
 
