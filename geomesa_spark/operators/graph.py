@@ -55,8 +55,12 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
         nb = (und.join(labels.withColumnRenamed("node", "y"), "y")
               .groupBy(F.col("x").alias("node"))
               .agg(F.min("comp").alias("nb_comp")))
+        # carry the pre-step label as `old` so the convergence check is a
+        # row-local compare on `jumped` instead of a labels re-join — one
+        # fewer shuffle per round on a loop whose wall is round-job count
         stepped = (labels.join(nb, "node", "left")
                    .select("node",
+                           F.col("comp").alias("old"),
                            F.least(F.col("comp"),
                                    F.coalesce("nb_comp", F.col("comp")))
                            .alias("comp")))
@@ -65,13 +69,11 @@ def connected_components(edges: DataFrame, *, a: str = "a", b: str = "b",
         parent = stepped.select(F.col("node").alias("comp"),
                                 F.col("comp").alias("pcomp"))
         jumped = (stepped.join(parent, "comp", "left")
-                  .select("node",
+                  .select("node", "old",
                           F.coalesce("pcomp", F.col("comp")).alias("comp"))
                   .localCheckpoint(eager=False))
-        changed = (labels.withColumnRenamed("comp", "old")
-                   .join(jumped, "node")
-                   .where(F.col("old") != F.col("comp")).count())
-        labels = jumped
+        changed = jumped.where(F.col("old") != F.col("comp")).count()
+        labels = jumped.select("node", "comp")
         if changed == 0:
             return labels
     last = changed if max_iter > 0 else "n/a (no rounds ran)"
