@@ -206,14 +206,14 @@ def _weeks(f) -> set[int] | None:
 # --------------------------------------------------------- residual refine
 
 def _as_rect(geom: Geometry):
-    """(x0, y0, x1, y1) when ``geom`` is an axis-aligned rectangle (ring
-    vertices are exactly the 4 bbox corners), else None."""
-    if not isinstance(geom, Polygon) or geom.holes:
-        return None
-    x0, y0, x1, y1 = geom.bounds()
-    corners = {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
-    ring = {(float(x), float(y)) for x, y in geom.rings()[0]}
-    return (x0, y0, x1, y1) if ring == corners else None
+    """(x0, y0, x1, y1) when ``geom`` is a proper axis-aligned rectangle,
+    else None. Delegates to the spatial join's ``_is_axis_rect`` — ONE
+    classifier guards every rect fast path: the vertex-SET check this
+    used to apply admitted a self-intersecting "bowtie" traversal of the
+    four corners, whose interior is two triangles, not the envelope
+    (the exact same defect fixed in the join in round 5, batch 1)."""
+    from geomesa_spark.operators.join import _is_axis_rect
+    return geom.bounds() if _is_axis_rect(geom) else None
 
 
 def _rect_column(op: str, rect, lon: Column, lat: Column) -> Column:

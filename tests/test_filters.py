@@ -95,6 +95,25 @@ class TestRefine:
             to_refine_column(poly)).collect()}
         assert a == b
 
+    def test_bowtie_ring_does_not_take_rect_fast_path(self, pts):
+        """A self-intersecting 4-corner "bowtie" ring shares the
+        envelope's vertex SET but its interior is two triangles — it must
+        refine through the exact kernel, not the envelope comparisons
+        (same defect class as the join's `_is_axis_rect` bowtie fix)."""
+        from geomesa_spark.geo.model import Polygon
+        from geomesa_spark.plans.filters import _as_rect
+        bow = Polygon([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0],
+                       [0.0, 10.0], [0.0, 0.0]])
+        assert _as_rect(bow) is None
+        got = {r["id"] for r in pts.where(
+            to_refine_column(Spatial(bow, "intersects"))).collect()}
+        env = {r["id"] for r in pts.where(
+            to_refine_column(bbox(0.0, 0.0, 10.0, 10.0,
+                                  "intersects"))).collect()}
+        # the bowtie result must be a strict subset of the envelope's:
+        # envelope-interior points off the two triangles are excluded
+        assert got < env
+
     @pytest.mark.parametrize("op", ["contains", "covers", "intersects",
                                     "disjoint", "touches", "within"])
     def test_rect_ops_vs_scalar(self, pts, op):
