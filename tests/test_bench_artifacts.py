@@ -46,6 +46,49 @@ def test_shipped_artifact_has_both_sections():
     assert "skew" in d and "pass_1p3x" in d["skew"], "skew section missing"
 
 
+class TestLocalRecordMerge:
+    """bench.py's BENCH_LOCAL record must merge per-query minima, never
+    let a loaded-host run regress the record (round 5 lost a 89.8k
+    record to a 74.6k run exactly this way; recovered via git)."""
+
+    OUT = {"metric": "m", "value": 1.0, "unit": "rows/sec",
+           "queries": {"spatial_join_contains": 0.9,
+                       "cell_assignment": 0.6, "knn": 1.0},
+           "rounds": 3, "sf": 0.1, "cpus": 32, "n_points": 100000}
+
+    def test_minima_merge_and_headline(self):
+        from bench import merge_local_record
+        prev = {**self.OUT, "value": 100000.0,
+                "queries": {"spatial_join_contains": 0.5,
+                            "cell_assignment": 0.5, "knn": 2.0},
+                "queries_median": {"knn": 2.2},
+                "other_section": {"keep": True}}
+        rec = merge_local_record(prev, self.OUT, {"knn": 1.1}, 100000)
+        # per-query minima across record+run
+        assert rec["queries"] == {"spatial_join_contains": 0.5,
+                                  "cell_assignment": 0.5, "knn": 1.0}
+        # headline recomputed from merged component minima, not the run's
+        assert rec["value"] == 100000.0
+        # medians minima-merged; foreign sections preserved
+        assert rec["queries_median"]["knn"] == 1.1
+        assert rec["other_section"] == {"keep": True}
+
+    def test_different_sf_replaces(self):
+        from bench import merge_local_record
+        prev = {**self.OUT, "sf": 0.5,
+                "queries": {"spatial_join_contains": 0.001,
+                            "cell_assignment": 0.001}}
+        rec = merge_local_record(prev, self.OUT, {"knn": 1.1}, 100000)
+        assert rec["queries"] == self.OUT["queries"]
+        assert rec["value"] == self.OUT["value"]
+
+    def test_empty_or_corrupt_previous(self):
+        from bench import merge_local_record
+        rec = merge_local_record({}, self.OUT, {"knn": 1.1}, 100000)
+        assert rec["queries"] == self.OUT["queries"]
+        assert rec["queries_median"] == {"knn": 1.1}
+
+
 class TestBigSfTransforms:
     """make_big_sf replica payloads must be genuinely new data, not
     verbatim duplicates (verbatim replicas inflate dedup pairs ~K^2)."""
