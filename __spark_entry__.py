@@ -73,6 +73,31 @@ def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                      *lonlat_cols())
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table for the FULL-SCAN text pipelines, split-balanced:
+    the fixture is a single row group, so without rebalancing every
+    pre-shuffle kernel (tokenization, signatures, pandas UDFs) runs on
+    1-2 cores regardless of cluster size (sources/table.py:read_balanced
+    — a no-op on production multi-row-group tables).
+
+    Scoped by an interleaved same-session A/B at SF=1.0: balance wins
+    where a pre-shuffle signature kernel dominates (minhash 28.7→13.1 s,
+    simhash 10.8→9.1 s, lsh_topk 17.6→16.3 s) and LOSES where the op's
+    first move is its own repartition or a stats-guided join (ngram
+    2.9→3.6 s, embedding_near_dup 2.0→3.4 s, training_pipeline
+    3.7→4.5 s: the exchange hides the scan's size stats and adds a
+    shuffle the op re-does anyway) — those queries read the parquet
+    directly, as do all queries whose filters must reach the scan."""
+    from geomesa_spark.sources import read_balanced
+    return read_balanced(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table, split-balanced (scoping rationale: see _docs)."""
+    from geomesa_spark.sources import read_balanced
+    return read_balanced(spark, f"{sf_dir}/embeddings.parquet")
+
+
 def _events_points_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Points + timestamp in ONE scan: lon/lat are pure expressions of
     event_id, so spatio-temporal queries never need the events<->points
@@ -286,7 +311,7 @@ def _lsh_index_table(spark: SparkSession, sf_dir: str):
                                              load_lsh_index)
 
     def build(p: str) -> None:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(spark, sf_dir)
         # plane count sized to the corpus (constant bucket occupancy):
         # a fixed p degenerates to brute force at larger fixtures
         build_lsh_index(emb, p, n_planes=default_n_planes(emb.count()),
@@ -311,7 +336,7 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str):
                                       build_ivf_index, load_ivf_index)
 
     def build(p: str) -> None:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        emb = _emb(spark, sf_dir)
         build_ivf_index(emb, p, list_partitions=16)
 
     return load_ivf_index(spark, _ensure_table(
@@ -725,7 +750,7 @@ def q_xz3_bbox_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features per document."""
     from geomesa_spark.text.analysis import quality_features
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return quality_features(docs).select(
         "doc_id", "q_chars", "q_tokens", "q_avg_token_len",
         "q_punct_ratio", "q_stopword_ratio", "q_score")
@@ -734,7 +759,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: predicted language counts."""
     from geomesa_spark.text.analysis import lang_id
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return (lang_id(docs).groupBy("lang_pred")
             .agg(F.count("*").alias("n")))
 
@@ -743,7 +768,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (rows-only: crc32 not in DuckDB;
     exact oracle lives in tests/test_text_pipeline.py)."""
     from geomesa_spark.text.analysis import fingerprint
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return fingerprint(docs).select("doc_id", "fp")
 
 
@@ -752,14 +777,14 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     + top-bigram share per doc and the drop flag a training pipeline
     would act on."""
     from geomesa_spark.text.analysis import repetition_features
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return repetition_features(docs)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: keeper id + group size."""
     from geomesa_spark.text.dedup import exact_dedup
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs)
 
 
@@ -786,7 +811,7 @@ def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (threshold 0.5): output
     equals brute-force Jaccard pairs (miss prob <= (1-t^2)^64 ~ 1e-8)."""
     from geomesa_spark.text.dedup import minhash_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_pairs(docs, threshold=0.5)
 
 
@@ -794,14 +819,14 @@ def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming 3 (rows-only: crc32 not in
     DuckDB; pigeonhole-exact semantics tested in pytest)."""
     from geomesa_spark.text.dedup import simhash_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_pairs(docs, max_hamming=3)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for every 50th vector as query."""
     from geomesa_spark.ml.similarity import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     out = cosine_topk(emb, queries_df, 10)
@@ -824,7 +849,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized so recall is 1.0 on this fixture, making the exact-top-k SQL
     oracle a REAL recall gate: any under-recall fails the value check."""
     from geomesa_spark.ml.similarity import lsh_topk_indexed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     index, meta = _lsh_index_table(spark, sf_dir)  # stored + sidecar
@@ -844,7 +869,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing + ranking — verifying the distributed prune/join/rank
     plumbing exactly while recall is asserted separately in pytest."""
     from geomesa_spark.ml.ivf import ivf_topk_indexed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     index, cents, meta = _ivf_index_table(spark, sf_dir)
@@ -866,7 +891,7 @@ def q_ann_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins the decision flipping to IVF at the measured SF=1.0
     crossover shape (20k vectors / 400 queries, BENCH_SF1_LOCAL)."""
     from geomesa_spark.ml.router import ann_topk_routed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").cast("string").alias("query_id"), "embedding")
     lsh_index, lsh_meta = _lsh_index_table(spark, sf_dir)

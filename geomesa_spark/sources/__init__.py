@@ -6,6 +6,7 @@ from geomesa_spark.sources.table import (  # noqa: F401
     completed_chunks,
     ingest_images,
     lineage_df,
+    read_balanced,
     read_images,
     write_partitioned,
 )

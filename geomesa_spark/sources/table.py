@@ -83,6 +83,32 @@ def read_images(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_balanced(spark: SparkSession, path: str, *,
+                  target: int | None = None) -> DataFrame:
+    """Parquet read for FULL-SCAN pipelines, rebalanced when the scan
+    yields fewer splits than the session's parallelism.
+
+    Parquet splits at row-group boundaries, so a table written as few
+    fat row groups (the small-fixture layout; also a real hazard for
+    compacted tables) scans at the row-group count no matter how many
+    cores the cluster has — every pre-shuffle stage (tokenization,
+    signature kernels, pandas UDFs) then runs on 1-2 cores. A measured
+    case at SF=1.0: the 50k-row single-row-group documents table ran
+    simhash signatures on 2 of 32 cores, 10 s for ~0.6 core-s of work.
+
+    On a production table with thousands of row groups the partition
+    count already exceeds ``target`` and this is a NO-OP (no shuffle,
+    pushdown untouched). Do NOT use it for queries whose filters must
+    reach the scan — a repartition between read and filter blocks
+    predicate pushdown; this helper is for pipelines that consume the
+    whole table anyway (dedup, fingerprinting, embedding sweeps)."""
+    df = spark.read.parquet(path)
+    want = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 def _projected_fraction(path: str, columns: list[str],
                         sample_files: int = 3) -> float:
     """Estimated share of on-disk bytes the projection actually reads,

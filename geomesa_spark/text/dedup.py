@@ -429,16 +429,33 @@ def simhash(df: DataFrame, *, id_col: str = "doc_id", text: str = "text",
 
     @F.pandas_udf(LongType())
     def sig_kernel(hashes: pd.Series) -> pd.Series:
-        out_v = np.empty(len(hashes), dtype=np.int64)
-        for r, arr in enumerate(hashes):
-            h1 = np.asarray(arr, dtype=np.int64)
-            h = np.stack([h1,
-                          (h1 * SIMHASH_A2 + SIMHASH_B2) % MERSENNE31,
-                          (h1 * SIMHASH_A3 + SIMHASH_B3) % MERSENNE31])
-            # (64, n_tokens) bit matrix -> per-bit +1/-1 sums
-            bits = (h[src] >> pos[:, None]) & 1
-            counts = (2 * bits - 1).sum(axis=1)
-            out_v[r] = bitvals[counts > 0].sum()
+        # one flattened kernel per Arrow batch, NOT a per-document loop:
+        # all token hashes concatenate into one vector, each signature
+        # bit is one shift+mask over the whole batch, and the per-doc
+        # +1/-1 sums come from np.add.reduceat at document offsets
+        # (counts_b = 2*S_b - n_tokens, S_b = per-doc set-bit count).
+        n_docs = len(hashes)
+        out_v = np.zeros(n_docs, dtype=np.int64)
+        if n_docs == 0:
+            return pd.Series(out_v)
+        arrs = [np.asarray(a, dtype=np.int64) for a in hashes]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=n_docs)
+        # upstream drops token-less docs; an empty segment would make
+        # reduceat read the NEXT doc's first element, so never mix them
+        if lens.min() <= 0:
+            raise ValueError("simhash sig_kernel requires non-empty "
+                             "token arrays (filter size(tokens) > 0)")
+        flat = np.concatenate(arrs)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        h = np.stack([flat,
+                      (flat * SIMHASH_A2 + SIMHASH_B2) % MERSENNE31,
+                      (flat * SIMHASH_A3 + SIMHASH_B3) % MERSENNE31])
+        for b in range(64):
+            bit = (h[src[b]] >> pos[b]) & 1
+            set_cnt = np.add.reduceat(bit, offsets)
+            out_v |= bitvals[b] * (2 * set_cnt > lens)
         return pd.Series(out_v)
 
     hashed = F.transform("tokens", lambda t: char_hash_expr(t, 31))

@@ -270,3 +270,28 @@ class TestProjectedScan:
                                                  F.lpad("id", 12, "0")),
                          "inner")
         assert joined.count() > 0
+
+
+class TestReadBalanced:
+    """read_balanced: rebalance single-row-group scans, no-op otherwise."""
+
+    def test_narrow_scan_is_rebalanced(self, spark, tmp_path):
+        from geomesa_spark.sources.table import read_balanced
+        p = str(tmp_path / "narrow")
+        spark.range(1000).coalesce(1).write.parquet(p)
+        df = read_balanced(spark, p)
+        want = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() >= want
+        assert df.count() == 1000
+
+    def test_wide_scan_is_untouched(self, spark, tmp_path):
+        """A scan already at/above the target keeps its plan (no
+        exchange inserted, pushdown-compatible)."""
+        from geomesa_spark.sources.table import read_balanced
+        p = str(tmp_path / "wide")
+        spark.range(1000).repartition(64).write.parquet(p)
+        df = read_balanced(spark, p, target=4)
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan() \
+            .toString().split("\n")[0] + \
+            df._jdf.queryExecution().toString()
+        assert df.count() == 1000
