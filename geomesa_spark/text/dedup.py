@@ -479,6 +479,22 @@ def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
     chunks >= 8 bits (n_chunks <= 8 -> max_hamming <= 7) or pre-block on
     another key first.
 
+    Two structural economies over the naive chunk self-join:
+
+    * The join runs over DISTINCT fingerprints, not rows. Near-dup
+      corpora carry heavy exact fingerprint duplication (the SF=1.0
+      documents fixture: 50k rows / 4,953 distinct simhashes), and the
+      chunk join's collision output grows QUADRATICALLY in each hot
+      bucket's multiplicity — deduplicating first shrinks that ~100x
+      here, then two id-expansion joins (plus a same-fp self-join for
+      the hamming-0 pairs) restore the row-level pairs, each
+      output-proportional.
+    * No pair-level ``distinct()``: a fingerprint pair within
+      ``max_hamming`` matches in possibly several chunks, and is
+      emitted only at the FIRST equal chunk — a row-local codegen
+      filter on xor's per-chunk zeroness — so the dedup shuffle
+      disappears entirely.
+
     Output: (a, b, hamming), a < b."""
     n = n_chunks if n_chunks is not None else max_hamming + 1
     if not 1 <= n <= 64:
@@ -487,36 +503,54 @@ def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
         raise ValueError(
             f"{n} chunks cannot be exact for hamming {max_hamming}")
     base, extra = divmod(64, n)
-    chunks, off = [], 0
+    chunks, masks, off = [], [], 0
     for c in range(n):
         width = base + (1 if c < extra else 0)
         chunks.append(F.struct(
             F.lit(c).alias("c"),
-            F.shiftrightunsigned(fp_col, off)
+            F.shiftrightunsigned("_fp", off)
             .bitwiseAND(F.lit((1 << width) - 1)).alias("v")))
+        masks.append(((1 << width) - 1) << off)
         off += width
-    ex = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"),
-                   F.explode(F.array(*chunks)).alias("ck"))
-    left = ex.select(F.col("_id").alias("a"),
-                     F.col("_fp").alias("_ha"), "ck")
-    right = ex.select(F.col("_id").alias("b"),
-                      F.col("_fp").alias("_hb"), "ck")
-    # verify BEFORE the dedup shuffle: bit_count is row-local codegen, so
-    # filtering first means the distinct() only shuffles true pairs (each
-    # duplicated <= n_chunks times), not every chunk collision — on a
-    # high-background-similarity corpus that is orders of magnitude less.
+    ids = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    uniq = ids.select("_fp").distinct()
+    ex = uniq.select("_fp", F.explode(F.array(*chunks)).alias("ck"))
+    left = ex.select(F.col("_fp").alias("_ha"), "ck")
+    right = ex.select(F.col("_fp").alias("_hb"), "ck")
+    xor = F.col("_ha").bitwiseXOR(F.col("_hb"))
+    # verify INSIDE the join stage: bit_count is row-local codegen, so
+    # only true fingerprint pairs survive into the expansion joins.
     # merge-hint the chunk self-join: clustered fingerprints put most
-    # rows in hot chunk buckets, so the join OUTPUT (172M collisions at
-    # SF=1.0) dwarfs its inputs (200k rows) — sort-merge streams matched
-    # groups sequentially (4.4 s) where the broadcast hash probe walks
-    # random chains per collision (17.8 s); AQE's input-size-only
-    # broadcast model cannot see output-dominated joins.
-    dist = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (left.hint("merge").join(right.hint("merge"), "ck")
+    # rows in hot chunk buckets, so the join OUTPUT dwarfs its inputs
+    # (172M collisions from 200k chunk rows at SF=1.0 before the
+    # distinct-fp dedup) — sort-merge streams matched groups
+    # sequentially (4.4 s) where the broadcast hash probe walks random
+    # chains per collision (17.8 s); AQE's input-size-only broadcast
+    # model cannot see output-dominated joins.
+    first_eq = F.lit(n - 1)
+    for c in range(n - 2, -1, -1):
+        first_eq = F.when(xor.bitwiseAND(F.lit(masks[c])) == 0,
+                          F.lit(c)).otherwise(first_eq)
+    fpp = (left.hint("merge").join(right.hint("merge"), "ck")
+           .where(F.col("_ha") < F.col("_hb"))
+           .where(F.bit_count(xor) <= max_hamming)
+           .where(F.col("ck.c") == first_eq)
+           .select("_ha", "_hb",
+                   F.bit_count(xor).alias("hamming")))
+    a_side = ids.select(F.col("_id").alias("_ia"),
+                        F.col("_fp").alias("_ha"))
+    b_side = ids.select(F.col("_id").alias("_ib"),
+                        F.col("_fp").alias("_hb"))
+    cross = (fpp.join(a_side, "_ha").join(b_side, "_hb")
+             .where(F.col("_ia") != F.col("_ib"))  # duplicate-id guard
+             .select(F.least("_ia", "_ib").alias("a"),
+                     F.greatest("_ia", "_ib").alias("b"), "hamming"))
+    same = (ids.select(F.col("_id").alias("a"), "_fp")
+            .join(ids.select(F.col("_id").alias("b"), "_fp"), "_fp")
             .where(F.col("a") < F.col("b"))
-            .select("a", "b", dist.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+            .select("a", "b",
+                    F.lit(0).cast("integer").alias("hamming")))
+    return cross.unionByName(same)
 
 
 def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,

@@ -403,6 +403,32 @@ class TestHammingPairs:
                 want.add((min(ia, ib), max(ia, ib), h))
         assert got == want
 
+    def test_duplicated_fingerprints_exact(self, spark):
+        """The distinct-fp rewrite: heavy exact-duplicate groups (the
+        hot-bucket regime it optimizes) still yield the exact pair set —
+        hamming-0 pairs inside each group, cross pairs between near
+        groups, each pair exactly once."""
+        import itertools
+        rows = []
+        base = 0x0123456789ABCDEF
+        for g in range(4):          # 4 clusters of 6 identical fps
+            fp = base ^ (g << 20) ^ (g & 1)  # clusters 2h apart in pairs
+            rows += [(g * 10 + i, fp) for i in range(6)]
+        from geomesa_spark.text.dedup import hamming_pairs
+        out = [(r.a, r.b, r.hamming) for r in hamming_pairs(
+            self._df(spark, rows), fp_col="fp", id_col="id",
+            max_hamming=3).collect()]
+        got = set(out)
+        assert len(out) == len(got)  # no pair emitted twice
+        want = set()
+        for (ia, fa), (ib, fb) in itertools.combinations(rows, 2):
+            h = bin((fa ^ fb) & ((1 << 64) - 1)).count("1")
+            if h <= 3 and ia != ib:
+                want.add((min(ia, ib), max(ia, ib), h))
+        assert got == want
+        assert any(h == 0 for _, _, h in got)  # in-group pairs present
+        assert any(h > 0 for _, _, h in got)   # cross-group pairs present
+
     def test_chunk_count_validation(self, spark):
         import pytest as _pt
         from geomesa_spark.text.dedup import hamming_pairs
