@@ -512,7 +512,15 @@ def hamming_pairs(df: DataFrame, *, fp_col: str, id_col: str,
             .bitwiseAND(F.lit((1 << width) - 1)).alias("v")))
         masks.append(((1 << width) - 1) << off)
         off += width
-    ids = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    # the (id, fp) projection feeds FOUR plan branches (distinct fps,
+    # both id expansions, the same-fp self-join); lazy lineage would
+    # recompute the upstream fingerprint kernel per branch — 5x the
+    # signature cost when df is a computed simhash/phash frame.
+    # localCheckpoint (lazy) materializes it once at the first action
+    # and lets the ContextCleaner reclaim the blocks on GC.
+    ids = df.select(F.col(id_col).alias("_id"),
+                    F.col(fp_col).alias("_fp")) \
+        .localCheckpoint(eager=False)
     uniq = ids.select("_fp").distinct()
     ex = uniq.select("_fp", F.explode(F.array(*chunks)).alias("ck"))
     left = ex.select(F.col("_fp").alias("_ha"), "ck")
