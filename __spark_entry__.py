@@ -1100,8 +1100,12 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     (monotone chain here, gift wrap in SQL) provably agree. Hull WKT
     strings themselves are byte-layout-gated in tests/test_export.py."""
     from geomesa_spark.operators.export import convex_hull_agg
+    from geomesa_spark.sources import read_balanced
     _ensure_functions(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # full-scan query with PYTHON pre-shuffle work (the mapInPandas
+    # partial-hull stage): split-balance the single-row-group fixture
+    # scan so the partials run on every core (see _docs)
+    ev = read_balanced(spark, f"{sf_dir}/events.parquet")
     pts = ev.select(
         "user_id",
         (F.col("event_id") * 7919 % 36000).cast("double").alias("lon"),
