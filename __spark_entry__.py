@@ -80,14 +80,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-2 cores regardless of cluster size (sources/table.py:read_balanced
     — a no-op on production multi-row-group tables).
 
-    Scoped by an interleaved same-session A/B at SF=1.0: balance wins
-    where a pre-shuffle signature kernel dominates (minhash 28.7→13.1 s,
-    simhash 10.8→9.1 s, lsh_topk 17.6→16.3 s) and LOSES where the op's
-    first move is its own repartition or a stats-guided join (ngram
-    2.9→3.6 s, embedding_near_dup 2.0→3.4 s, training_pipeline
-    3.7→4.5 s: the exchange hides the scan's size stats and adds a
-    shuffle the op re-does anyway) — those queries read the parquet
-    directly, as do all queries whose filters must reach the scan."""
+    Scoped by interleaved same-session A/Bs at SF=0.1 + SF=1.0: balance
+    wins ONLY where the pre-shuffle stage runs a PYTHON kernel (minhash
+    28.7→13.1 s, simhash, lsh_topk, convex_hull's mapInPandas partials
+    4.9→2.0 s). It measurably LOSES everywhere else: ops whose first
+    move is their own repartition or a stats-guided join (ngram,
+    embedding_near_dup, training_pipeline — the exchange hides the
+    scan's size stats and adds a shuffle the op re-does anyway) AND
+    plain JVM-codegen pipelines (point2point, track_label, bin_export,
+    whole-table stats: a 2-core codegen scan of 1M rows is cheaper than
+    shuffling them, measured DIR by 0.4-1.5 s at both SFs). Those, and
+    every query whose raw-column filters must reach the scan, read the
+    parquet directly."""
     from geomesa_spark.sources import read_balanced
     return read_balanced(spark, f"{sf_dir}/documents.parquet")
 

@@ -98,10 +98,13 @@ def read_balanced(spark: SparkSession, path: str, *,
 
     On a production table with thousands of row groups the partition
     count already exceeds ``target`` and this is a NO-OP (no shuffle,
-    pushdown untouched). Do NOT use it for queries whose filters must
-    reach the scan — a repartition between read and filter blocks
-    predicate pushdown; this helper is for pipelines that consume the
-    whole table anyway (dedup, fingerprinting, embedding sweeps)."""
+    pushdown untouched). Use it ONLY for full-scan pipelines whose
+    pre-shuffle stage runs a PYTHON kernel (pandas UDF / mapInPandas):
+    interleaved A/Bs showed pure JVM-codegen pipelines are FASTER on
+    the narrow scan than behind the repartition shuffle, ops that
+    repartition themselves or rely on the scan's size statistics
+    regress under the hidden stats, and a repartition between read and
+    filter blocks predicate pushdown."""
     df = spark.read.parquet(path)
     want = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
