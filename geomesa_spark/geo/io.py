@@ -231,7 +231,7 @@ def from_wkt(s: str | None) -> Geometry | None:
     if s is None:
         return None
     s = s.strip()
-    typ, rest = _split_type(s)
+    typ, dim, rest = _split_type(s)
     if rest.upper().startswith("EMPTY"):
         return {"POINT": Point(), "LINESTRING": LineString(np.empty((0, 2))),
                 "POLYGON": Polygon(np.empty((0, 2))),
@@ -242,7 +242,16 @@ def from_wkt(s: str | None) -> Geometry | None:
     if typ == "POINT":
         vals = _parse_pos_list(_strip_parens(body))
         p = vals[0]
-        return Point(p[0], p[1], p[2] if len(p) > 2 else None)
+        # M is the LAST ordinate only when the dim token says so ("M",
+        # "ZM") or four bare ordinates imply XYZM; a bare third ordinate
+        # is Z (JTS WKTReader convention), which this model drops
+        if dim == "M" and len(p) > 2:
+            m = p[2]
+        elif (dim == "ZM" or (dim == "" and len(p) > 3)) and len(p) > 3:
+            m = p[3]
+        else:
+            m = None
+        return Point(p[0], p[1], m)
     if typ == "LINESTRING":
         return LineString([v[:2] for v in _parse_pos_list(_strip_parens(body))])
     if typ == "POLYGON":
@@ -273,18 +282,20 @@ def from_wkt(s: str | None) -> Geometry | None:
     raise ValueError(f"unsupported WKT type {typ}")
 
 
-def _split_type(s: str) -> tuple[str, str]:
+def _split_type(s: str) -> tuple[str, str, str]:
+    """(TYPE, dimension token "" | "Z" | "M" | "ZM", remainder)."""
     i = 0
     while i < len(s) and (s[i].isalpha()):
         i += 1
     typ = s[:i].upper()
     rest = s[i:].strip()
-    # strip optional M/Z/ZM dimension token
+    dim = ""
     for tok in ("ZM", "Z", "M"):
         if rest.upper().startswith(tok + " ") or rest.upper().startswith(tok + "("):
+            dim = tok
             rest = rest[len(tok):].strip()
             break
-    return typ, rest
+    return typ, dim, rest
 
 
 def _strip_parens(s: str) -> str:

@@ -189,9 +189,32 @@ def _part_points(g: Geometry) -> list[tuple[float, float]]:
 
 def closest_point(a: Geometry, b: Geometry) -> Point:
     """The point ON a closest to b (JTS DistanceOp semantics, as used by
-    st_closestPoint)."""
-    best = (np.inf, np.nan, np.nan)
+    st_closestPoint).
+
+    Intersecting inputs short-circuit to a point OF the intersection
+    (JTS nearestPoints returns distance-0 locations): a part of b inside
+    a's closure, a part of a inside b's closure, or — when neither
+    representative vertex is contained but the boundaries cross — a
+    line-work intersection point. The vertex/segment loops alone miss
+    the crossing case (both hulls' vertices can sit strictly outside the
+    other geometry while the interiors still overlap)."""
+    # containment / crossing -> distance zero at a shared point
+    for (px, py) in _part_points(b):
+        if locate(a, px, py) != "E":
+            return Point(px, py)
+    for (px, py) in _part_points(a):
+        if locate(b, px, py) != "E":
+            return Point(px, py)
     segs_a = list(_all_segments(a))
+    segs_b = list(_all_segments(b))
+    for sa1, sa2 in segs_a:
+        for sb1, sb2 in segs_b:
+            kind, data = _seg_intersection(sa1, sa2, sb1, sb2)
+            if kind == "point":
+                return Point(data[0], data[1])
+            if kind == "overlap":
+                return Point(data[0][0], data[0][1])
+    best = (np.inf, np.nan, np.nan)
     pts_b = _all_points(b)
     # vertices/points of b vs segments of a
     for (px, py) in pts_b:
@@ -200,7 +223,6 @@ def closest_point(a: Geometry, b: Geometry) -> Point:
             if d < best[0]:
                 best = (d, cx, cy)
     # points of a vs segments of b (closest stays a vertex of a)
-    segs_b = list(_all_segments(b))
     for (px, py) in _all_points(a):
         for s1, s2 in segs_b:
             d, _, _ = _point_seg_dist(px, py, s1[0], s1[1], s2[0], s2[1])
@@ -211,13 +233,6 @@ def closest_point(a: Geometry, b: Geometry) -> Point:
                 d = float(np.hypot(px - qx, py - qy))
                 if d < best[0]:
                     best = (d, px, py)
-    # interior containment -> distance zero at the contained point
-    # (one representative per PART of b: later parts of a multi-geometry
-    # can be the contained ones)
-    for (px, py) in _part_points(b):
-        if locate(a, px, py) != "E":
-            best = (0.0, px, py)
-            break
     return Point(best[1], best[2])
 
 
