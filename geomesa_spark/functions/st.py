@@ -443,9 +443,9 @@ def build_udfs() -> dict:
         lambda g, n: LineString(g.holes[n - 1])
         if isinstance(g, Polygon) and 0 < n <= len(g.holes) else None)
     u["st_isClosed"] = _udf("g", BO,
-                            lambda g: g.is_closed() if isinstance(g, LineString)
-                            else (all(p.is_closed() for p in g.parts)
-                                  if isinstance(g, MultiLineString) else True))
+                            lambda g: g.is_closed()
+                            if isinstance(g, (LineString, MultiLineString))
+                            else True)
     u["st_isCollection"] = _udf("g", BO,
                                 lambda g: isinstance(g, GeometryCollection))
     u["st_isEmpty"] = _udf("g", BO, lambda g: g.is_empty())

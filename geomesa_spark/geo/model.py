@@ -142,6 +142,12 @@ class MultiLineString(_Multi):
     def dimension(self) -> int:
         return 1
 
+    def is_closed(self) -> bool:
+        # JTS MultiLineString.isClosed: false when empty, else every part
+        # closed (st_isClosed/st_isRing dispatch on this,
+        # GeometricAccessorFunctions.scala:46-57)
+        return bool(self.parts) and all(p.is_closed() for p in self.parts)
+
 
 class MultiPolygon(_Multi):
     typ = "MultiPolygon"
