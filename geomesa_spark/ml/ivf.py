@@ -17,7 +17,8 @@ distributed stays in Catalyst:
   runs driver-side in numpy over the tiny centroid matrix; the
   distributed plan is a partition-pruned + row-group-pruned scan of the
   probed lists, a broadcast join to the query vectors, a pure-Catalyst
-  cosine (`cos_expr`), and ONE shuffle for the per-query rank window.
+  cosine (one dot fold per candidate, `cos_prenormed_expr`), and ONE
+  shuffle for the per-query rank window.
   Zero Python evals in the executed plan (plan-shape-tested).
 
 Recall is governed by ``nprobe / n_centroids`` — IVF is approximate by
@@ -44,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from geomesa_spark.ml.similarity import (_collect_matrix, _rank_topk,
-                                         cos_expr)
+                                         cos_prenormed_expr, norm_expr)
 
 _IVF_META_FILE = "_ivf_meta.json"
 _IVF_CENTROID_FILE = "_ivf_centroids.parquet"
@@ -341,10 +342,16 @@ def ivf_topk_indexed(index: DataFrame, queries: DataFrame, k: int, *,
     qvec_df = spark.createDataFrame(
         [(str(q), [float(x) for x in v]) for q, v in zip(q_ids, q_mat)],
         f"{query_id_col} string, _qv array<double>")
+    # row norm hoisted below the probe join (one fold per scanned index
+    # row, reused when several queries probe the same list); the query
+    # side is unit-length from _collect_matrix, so the per-(query, row)
+    # work is a single dot fold (see cos_prenormed_expr)
     scored = (index.where(flt)
+              .withColumn("_cn", norm_expr(vec_col))
               .join(F.broadcast(probe_df), "list_id")
               .join(F.broadcast(qvec_df), query_id_col)
-              .withColumn("cos", cos_expr("_qv", vec_col)))
+              .withColumn("cos", cos_prenormed_expr("_qv", vec_col,
+                                                    "_cn")))
     return _rank_topk(scored, k, id_col=id_col,
                       query_id_col=query_id_col)
 
