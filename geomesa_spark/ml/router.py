@@ -69,7 +69,13 @@ EXACT_OVERHEAD_S = 0.7
 LSH_OVERHEAD_S = 2.0
 IVF_OVERHEAD_S = 1.4
 EXACT_PER_ROW_S = 3.0e-7   # blocked BLAS row-score
-INDEX_PER_ROW_S = 4.5e-6   # Catalyst cosine + prune/join per candidate
+# Catalyst cosine + prune/join per candidate. Re-calibrated after the
+# norm hoist (cos_prenormed_expr: one dot fold per candidate instead of
+# three): lsh_topk at SF=1.0 scored 3.84M candidates in 9.98 s wall
+# ~= 2.6e-6 s/row all-in. Every documented ordering (fixtures -> exact,
+# SF=1.0 -> IVF, 10^8 -> LSH) is preserved; the exact->index crossover
+# just moves slightly earlier, matching the faster index paths.
+INDEX_PER_ROW_S = 2.6e-6
 
 
 @dataclass
