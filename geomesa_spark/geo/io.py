@@ -203,13 +203,16 @@ def to_wkt(g: Geometry | None) -> str | None:
     if isinstance(g, Polygon):
         return f"POLYGON {_rings_wkt(g.rings())}"
     if isinstance(g, MultiPoint):
-        inner = ", ".join(f"({_fmt(p.x)} {_fmt(p.y)})" for p in g.parts)
+        inner = ", ".join("EMPTY" if p.is_empty()
+                          else f"({_fmt(p.x)} {_fmt(p.y)})" for p in g.parts)
         return f"MULTIPOINT ({inner})"
     if isinstance(g, MultiLineString):
-        inner = ", ".join(_coords_wkt(p.coords) for p in g.parts)
+        inner = ", ".join("EMPTY" if p.is_empty()
+                          else _coords_wkt(p.coords) for p in g.parts)
         return f"MULTILINESTRING ({inner})"
     if isinstance(g, MultiPolygon):
-        inner = ", ".join(_rings_wkt(p.rings()) for p in g.parts)
+        inner = ", ".join("EMPTY" if p.is_empty()
+                          else _rings_wkt(p.rings()) for p in g.parts)
         return f"MULTIPOLYGON ({inner})"
     inner = ", ".join(to_wkt(p) for p in g.parts)
     return f"{t} ({inner})"
@@ -262,6 +265,9 @@ def from_wkt(s: str | None) -> Geometry | None:
         pts = []
         for gtxt in groups:
             gtxt = gtxt.strip()
+            if gtxt.upper() == "EMPTY":  # JTS: EMPTY element allowed
+                pts.append(Point())
+                continue
             if gtxt.startswith("("):
                 gtxt = _strip_parens(gtxt)
             v = _parse_pos_list(gtxt)[0]
@@ -270,11 +276,15 @@ def from_wkt(s: str | None) -> Geometry | None:
     if typ == "MULTILINESTRING":
         inner = _strip_parens(body)
         return MultiLineString(
-            [LineString([v[:2] for v in _parse_pos_list(_strip_parens(t.strip()))])
+            [LineString(np.empty((0, 2))) if t.strip().upper() == "EMPTY"
+             else LineString([v[:2]
+                              for v in _parse_pos_list(_strip_parens(t.strip()))])
              for t in _split_top(inner)])
     if typ == "MULTIPOLYGON":
         inner = _strip_parens(body)
-        return MultiPolygon([Polygon(*_parse_rings(t.strip()))
+        return MultiPolygon([Polygon(np.empty((0, 2)))
+                             if t.strip().upper() == "EMPTY"
+                             else Polygon(*_parse_rings(t.strip()))
                              for t in _split_top(inner)])
     if typ == "GEOMETRYCOLLECTION":
         inner = _strip_parens(body)
@@ -349,6 +359,9 @@ def to_geojson(g: Geometry | None) -> str | None:
 
 
 def _gj(g: Geometry):
+    if g.is_empty() and not isinstance(g, GeometryCollection):
+        # JTS GeoJsonWriter: empty -> "coordinates": [] (json has no NaN)
+        return {"type": g.typ, "coordinates": []}
     if isinstance(g, Point):
         return {"type": "Point", "coordinates": [g.x, g.y]}
     if isinstance(g, LineString):
@@ -378,6 +391,12 @@ def from_geojson(s: str | None) -> Geometry | None:
 def _from_gj(o) -> Geometry:
     t = o["type"]
     c = o.get("coordinates")
+    if t != "GeometryCollection" and not c:  # "coordinates": [] = EMPTY
+        return {"Point": Point(), "LineString": LineString(np.empty((0, 2))),
+                "Polygon": Polygon(np.empty((0, 2))),
+                "MultiPoint": MultiPoint([]),
+                "MultiLineString": MultiLineString([]),
+                "MultiPolygon": MultiPolygon([])}[t]
     if t == "Point":
         return Point(c[0], c[1])
     if t == "LineString":

@@ -71,6 +71,8 @@ class LineString(Geometry):
 
     def bounds(self):
         c = self.coords
+        if not len(c):  # match Point/_Multi: empty -> NaN envelope, no raise
+            return (np.nan,) * 4
         return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
 
     def dimension(self) -> int:
@@ -101,6 +103,8 @@ class Polygon(Geometry):
 
     def bounds(self):
         c = self.shell
+        if not len(c):  # match Point/_Multi: empty -> NaN envelope, no raise
+            return (np.nan,) * 4
         return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
 
     def dimension(self) -> int:

@@ -112,7 +112,7 @@ def write_shp(geoms: list) -> bytes:
     content = b"".join(recs)
     xs, ys = [], []
     for g in geoms:
-        if g is not None:
+        if g is not None and not g.is_empty():  # empty -> NaN bounds
             x0, y0, x1, y1 = g.bounds()
             xs += [x0, x1]
             ys += [y0, y1]
@@ -128,7 +128,7 @@ def write_shp(geoms: list) -> bytes:
 
 
 def _encode_shape(g) -> bytes:
-    if g is None:
+    if g is None or g.is_empty():  # spec Null Shape (type 0) for empties too
         return struct.pack("<i", 0)
     if isinstance(g, Point):
         return struct.pack("<idd", 1, g.x, g.y)
@@ -151,6 +151,9 @@ def _encode_shape(g) -> bytes:
 
 
 def _encode_poly(stype: int, rings: list) -> bytes:
+    rings = [r for r in rings if len(r)]  # empty part in a non-empty multi
+    if not rings:
+        return struct.pack("<i", 0)
     pts = np.vstack(rings)
     parts, off = [], 0
     for r in rings:
