@@ -113,7 +113,10 @@ def xz3_index(xmin, ymin, xmax, ymax, t0_us, t1_us,
     sec0 = t0_us // 1_000_000
     epoch = sec0 // WEEK_SECONDS
     off0 = sec0 - epoch * WEEK_SECONDS
-    off1 = np.minimum(t1_us // 1_000_000 - epoch * WEEK_SECONDS,
+    # t1 rounds UP to seconds: flooring would shrink the coded extent, and
+    # a shrunk element can land in a cell whose enlarged span ends before
+    # the true t1 — an under-selecting cover. Widening is always sound.
+    off1 = np.minimum(-((-t1_us) // 1_000_000) - epoch * WEEK_SECONDS,
                       WEEK_SECONDS)
     return epoch, xz3_code(xmin, ymin, xmax, ymax, off0, off1, res)
 

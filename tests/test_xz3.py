@@ -157,3 +157,29 @@ class TestXZ3Query:
             .optimizedPlan().toString()
         # the prune is pure column comparisons over epoch/xz3
         assert "epoch" in plan and "xz3" in plan
+
+
+def test_index_subsecond_end_rounds_up():
+    """xz3_index must round t1 UP to seconds: flooring shrinks the coded
+    extent, and a shrunk element can land in a cell whose enlarged span
+    ends before the true t1 — an under-selecting cover (eighth round-5
+    review batch). The coded interval must contain the true one, so the
+    code with a fractional-second end must equal the code of the
+    whole-second-ceil interval, never the floor's."""
+    base_us = 100 * WEEK_SECONDS * 1_000_000
+    # true interval [3600, 3600.9] s within the week
+    frac = xz3_index([0.0], [0.0], [0.5], [0.5],
+                     [base_us + 3_600_000_000],
+                     [base_us + 3_600_900_000])
+    ceil = xz3_index([0.0], [0.0], [0.5], [0.5],
+                     [base_us + 3_600_000_000],
+                     [base_us + 3_601_000_000])
+    assert frac[0][0] == ceil[0][0] == 100
+    assert frac[1][0] == ceil[1][0]
+    # and a whole-second end is itself unchanged by the ceil
+    exact = xz3_index([0.0], [0.0], [0.5], [0.5],
+                      [base_us + 3_600_000_000],
+                      [base_us + 3_602_000_000])
+    assert exact[1][0] == xz3_index(
+        [0.0], [0.0], [0.5], [0.5],
+        [base_us + 3_600_000_000], [base_us + 3_602_000_000])[1][0]
