@@ -85,10 +85,8 @@ def xz3_range_predicate(bbox: tuple[float, float, float, float],
     qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
     e0 = int(t0_s // WEEK_SECONDS)
     e1 = int(t1_s // WEEK_SECONDS)
-    pred = F.col(epoch_col) == -1
-    for e in range(e0, e1 + 1):
-        lo = max(0.0, t0_s - e * WEEK_SECONDS)
-        hi = min(float(WEEK_SECONDS), t1_s - e * WEEK_SECONDS)
+
+    def range_term(lo: float, hi: float) -> Column | None:
         ranges = coalesce_ranges(
             xz3_covers(qx0, qy0, qx1, qy1, lo, hi, res=res),
             max_terms_per_epoch)
@@ -97,6 +95,28 @@ def xz3_range_predicate(bbox: tuple[float, float, float, float],
             t = (F.col(col) >= a) & (F.col(col) <= b) if a != b \
                 else (F.col(col) == a)
             term = t if term is None else (term | t)
+        return term
+
+    # Epochs fully inside the interval share ONE cover (the bbox over the
+    # whole week): emit it once under an epoch BETWEEN instead of per week,
+    # so a year-long query costs 2 boundary epochs + 1 shared term, not
+    # 52x max_terms Catalyst nodes (same rows selected — the per-epoch
+    # ranges are identical by construction).
+    interior = [e for e in range(e0, e1 + 1)
+                if t0_s <= e * WEEK_SECONDS
+                and t1_s >= (e + 1) * WEEK_SECONDS]
+    pred = F.col(epoch_col) == -1
+    if interior:
+        term = range_term(0.0, float(WEEK_SECONDS))
+        if term is not None:
+            pred = pred | ((F.col(epoch_col) >= interior[0])
+                           & (F.col(epoch_col) <= interior[-1]) & term)
+    for e in range(e0, e1 + 1):
+        if interior and interior[0] <= e <= interior[-1]:
+            continue
+        lo = max(0.0, t0_s - e * WEEK_SECONDS)
+        hi = min(float(WEEK_SECONDS), t1_s - e * WEEK_SECONDS)
+        term = range_term(lo, hi)
         if term is not None:
             pred = pred | ((F.col(epoch_col) == e) & term)
     return pred

@@ -22,7 +22,7 @@ import os
 import tempfile
 import zipfile
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def build_zip(out_path: str | None = None) -> str:
@@ -46,7 +46,11 @@ def build_zip(out_path: str | None = None) -> str:
 def ship_package(spark) -> None:
     """Idempotently register the package zip with ``addPyFile``."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    # keyed on applicationId, NOT id(sc): a stopped context's memory
+    # address can be reused by the next one, which would skip the ship
+    # and fail every pandas-UDF stage of the new session
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
         return
     # Build OUTSIDE the guard: a zip-build failure (full disk, /tmp zip
     # owned by another user) must raise here, where it is diagnosable —
@@ -57,4 +61,4 @@ def ship_package(spark) -> None:
         sc.addPyFile(zip_path)
     except Exception:
         pass  # e.g. already added under the same name by --py-files
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)

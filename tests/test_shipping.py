@@ -28,9 +28,9 @@ def test_build_zip_contains_package(tmp_path):
 
 
 def test_ship_package_idempotent_per_context(spark, monkeypatch):
-    shipping._SHIPPED.discard(id(spark.sparkContext))
+    shipping._SHIPPED.discard(spark.sparkContext.applicationId)
     shipping.ship_package(spark)
-    assert id(spark.sparkContext) in shipping._SHIPPED
+    assert spark.sparkContext.applicationId in shipping._SHIPPED
     # cached contexts must not rebuild or re-register the zip
     monkeypatch.setattr(shipping, "build_zip",
                         lambda *a, **k: (_ for _ in ()).throw(
