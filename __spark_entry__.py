@@ -36,14 +36,17 @@ KNN_QUERIES = [
     ("q-6", -122.4, 37.8), ("q-7", 151.2, -33.9),
 ]
 
-_REGISTERED = set()
+_REGISTERED: set[str] = set()
 
 
 def _ensure_functions(spark: SparkSession) -> None:
-    if id(spark) not in _REGISTERED:
+    # keyed on applicationId, not id(spark): a new session can reuse a
+    # stopped one's memory address and would silently skip registration
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _REGISTERED:
         from geomesa_spark.functions import register_all
         register_all(spark)
-        _REGISTERED.add(id(spark))
+        _REGISTERED.add(app_id)
 
 
 def _ensure_workers(spark: SparkSession) -> None:
