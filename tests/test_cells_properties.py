@@ -92,3 +92,64 @@ def test_cover_soundness_xz2(cx, cy, w, h, qx, qy, qs):
     code = int(xz2_index([bx0], [by0], [bx1], [by1])[0])
     assert any(lo <= code <= hi
                for lo, hi in xz2_covers(qx0, qy0, qx1, qy1))
+
+
+@settings(max_examples=60, deadline=None)
+@given(cx=st.floats(min_value=-170.0, max_value=170.0),
+       cy=st.floats(min_value=-80.0, max_value=80.0),
+       w=st.floats(min_value=0.01, max_value=8.0),
+       h=st.floats(min_value=0.01, max_value=4.0),
+       et0=st.floats(min_value=0.0, max_value=0.95),
+       ed=st.floats(min_value=1e-5, max_value=0.3),
+       qx=st.floats(min_value=-170.0, max_value=170.0),
+       qy=st.floats(min_value=-80.0, max_value=80.0),
+       qs=st.floats(min_value=0.5, max_value=40.0),
+       qt0=st.floats(min_value=0.0, max_value=1.0),
+       qd=st.floats(min_value=0.0, max_value=1.0))
+def test_cover_soundness_xz3(cx, cy, w, h, et0, ed, qx, qy, qs, qt0, qd):
+    """If a (box, interval) element intersects the query bbox AND its
+    interval overlaps the query interval, the element's XZ3 code is
+    inside some cover range — for generated elements and queries
+    including degenerate instants (qd=0) and full-week spans (the
+    generated-vector analog of the reference's XZ3SFCTest)."""
+    from geomesa_spark.cells.xz3 import xz3_code, xz3_covers
+    from geomesa_spark.cells.z3 import WEEK_SECONDS
+
+    bx0, by0, bx1, by1 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+    bt0 = et0 * WEEK_SECONDS
+    bt1 = min(bt0 + ed * WEEK_SECONDS, float(WEEK_SECONDS))
+    qx0, qy0, qx1, qy1 = qx - qs / 2, qy - qs / 2, qx + qs / 2, qy + qs / 2
+    qlo = qt0 * WEEK_SECONDS
+    qhi = min(qlo + qd * WEEK_SECONDS, float(WEEK_SECONDS))
+    if (bx1 < qx0 or bx0 > qx1 or by1 < qy0 or by0 > qy1
+            or bt1 < qlo or bt0 > qhi):
+        return  # disjoint in space or time: no claim
+    code = int(xz3_code([bx0], [by0], [bx1], [by1], [bt0], [bt1])[0])
+    assert any(lo <= code <= hi
+               for lo, hi in xz3_covers(qx0, qy0, qx1, qy1, qlo, qhi))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=10**6),
+                          st.integers(min_value=0, max_value=200)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=20))
+def test_coalesce_ranges_sound(seed_ranges, max_n):
+    """coalesce_ranges must (a) respect the budget, (b) stay sorted and
+    disjoint, and (c) COVER every input range — merging may over-select
+    (gaps absorbed) but never drop a range (under-selection loses rows)."""
+    from geomesa_spark.operators.xz2_query import coalesce_ranges
+
+    # build a sorted, disjoint input list from the generated deltas
+    ranges, pos = [], 0
+    for gap, width in seed_ranges:
+        lo = pos + gap
+        hi = lo + width
+        ranges.append((lo, hi))
+        pos = hi + 1
+    out = coalesce_ranges(list(ranges), max_n)
+    assert len(out) <= max(max_n, 1)
+    assert out == sorted(out)
+    assert all(a1 < b0 for (_, a1), (b0, _) in zip(out, out[1:]))
+    for lo, hi in ranges:
+        assert any(olo <= lo and hi <= ohi for olo, ohi in out), (lo, hi)
