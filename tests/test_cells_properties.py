@@ -153,3 +153,29 @@ def test_coalesce_ranges_sound(seed_ranges, max_n):
     assert all(a1 < b0 for (_, a1), (b0, _) in zip(out, out[1:]))
     for lo, hi in ranges:
         assert any(olo <= lo and hi <= ohi for olo, ohi in out), (lo, hi)
+
+
+@settings(max_examples=60, deadline=None)
+@given(qx=st.floats(min_value=-179.0, max_value=179.0),
+       qy=st.floats(min_value=-89.0, max_value=89.0),
+       qw=st.floats(min_value=0.1, max_value=60.0),
+       qh=st.floats(min_value=0.1, max_value=40.0),
+       fx=st.floats(min_value=0.0, max_value=1.0),
+       fy=st.floats(min_value=0.0, max_value=1.0),
+       level=st.integers(min_value=4, max_value=12))
+def test_cover_soundness_s2(qx, qy, qw, qh, fx, fy, level):
+    """Any point inside the query bbox must fall in some S2 cover range —
+    generated boxes roam across cube-face seams and the poles, where the
+    Hilbert-order discontinuities live."""
+    from geomesa_spark.cells.s2 import s2_cell_id, s2_cover_ranges
+
+    qx0 = max(-180.0, qx - qw / 2)
+    qx1 = min(180.0, qx + qw / 2)
+    qy0 = max(-90.0, qy - qh / 2)
+    qy1 = min(90.0, qy + qh / 2)
+    ranges = s2_cover_ranges(qx0, qy0, qx1, qy1, level)
+    lon = qx0 + fx * (qx1 - qx0)
+    lat = qy0 + fy * (qy1 - qy0)
+    cid = int(s2_cell_id(np.array([lon]), np.array([lat]), level)[0])
+    assert any(int(lo) <= cid <= int(hi) for lo, hi in ranges), \
+        (lon, lat, level)
