@@ -1612,7 +1612,9 @@ def _video_frame_stats_sql() -> str:
 def _route_search_sql() -> str:
     """SQL twin of q_route_search: same planar closest-point, haversine
     distance, spherical bearing and argmin tie-break formulas (all exact
-    IEEE arithmetic except trig, absorbed by round-6)."""
+    IEEE arithmetic except trig; dist is rounded to WHOLE meters on both
+    sides because libm noise can land a value ON a finer rounding
+    boundary — a 6-dp quantum flipped one row at sf0.1)."""
     rows = ", ".join(
         f"({rid}, {si}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
         for rid, coords in enumerate(ROUTE_COORDS)
@@ -1640,7 +1642,7 @@ def _route_search_sql() -> str:
                 s(route_id, seg, x1, y1, x2, y2)),
         scored AS (
           SELECT event_id, lon, lat, heading, route_id, seg,
-                 round({dist}, 6) AS d,
+                 round({dist}, 0) AS d,
                  round({bearing}, 6) AS raz
           FROM pts CROSS JOIN seg
           WHERE {dist} <= {ROUTE_BUFFER_M!r}),

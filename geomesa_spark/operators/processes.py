@@ -228,11 +228,14 @@ def route_search(features: DataFrame,
               .withColumn("raz", F.round(_bearing_expr(
                   F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")), 6)))
     # closest segment per feature: min(struct) -> map-side partial agg;
-    # dist rounded so sub-ulp trig noise cannot flip ties across engines
-    # (ties then break deterministically by (route_id, seg))
+    # dist rounded to WHOLE meters so cross-engine trig noise (~1e-9 m,
+    # different libm sin/cos) cannot straddle the output quantum — at
+    # 6 dp a value landing ON a micro-meter boundary flipped between
+    # engines at sf0.1; ties then break deterministically by
+    # (route_id, seg) identically in both engines
     best = (scored.groupBy(id_col, lon, lat, heading)
             .agg(F.min(F.struct(
-                F.round("dist_m", 6).alias("d"), "route_id", "seg",
+                F.round("dist_m", 0).alias("d"), "route_id", "seg",
                 "raz")).alias("m"))
             .select(id_col, lon, lat, heading,
                     F.col("m.route_id").alias("route_id"),

@@ -85,11 +85,13 @@ def xz3_range_predicate(bbox: tuple[float, float, float, float],
     qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
     e0 = int(t0_s // WEEK_SECONDS)
     e1 = int(t1_s // WEEK_SECONDS)
+    all_ranges: list[tuple[int, int]] = []
 
     def range_term(lo: float, hi: float) -> Column | None:
         ranges = coalesce_ranges(
             xz3_covers(qx0, qy0, qx1, qy1, lo, hi, res=res),
             max_terms_per_epoch)
+        all_ranges.extend(ranges)
         term = None
         for a, b in ranges:
             t = (F.col(col) >= a) & (F.col(col) <= b) if a != b \
@@ -119,6 +121,23 @@ def xz3_range_predicate(bbox: tuple[float, float, float, float],
         term = range_term(lo, hi)
         if term is not None:
             pred = pred | ((F.col(epoch_col) == e) & term)
+
+    # Redundant xz3-ONLY conjunct for parquet row-group skipping: the
+    # disjunction above mixes the PARTITION column (epoch) with the data
+    # column (xz3), which Spark cannot push to the data source — so the
+    # sorted-by-xz3 row groups inside each pruned epoch partition would
+    # all be read. The conjunct below is implied by the predicate (a
+    # selected row has xz3 inside ITS epoch's ranges ⊆ the union, or is
+    # a reserved epoch=-1 row, which with_xz3 stores with xz3 = -1) and
+    # references only xz3, so it lands in PushedFilters.
+    if all_ranges:
+        union = coalesce_ranges(sorted(set(all_ranges)),
+                                max_terms_per_epoch)
+        push = F.col(col) == -1
+        for a, b in union:
+            push = push | ((F.col(col) >= a) & (F.col(col) <= b)
+                           if a != b else (F.col(col) == a))
+        pred = pred & push
     return pred
 
 
