@@ -477,7 +477,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_join(pts, KNN_QUERIES, KNN_K, tiebreak=["event_id"])
     return out.select(
         "query_id", "rank", "event_id",
-        F.round(F.col("dist_m"), 3).alias("dist_m"))
+        F.round(F.col("dist_m"), 0).alias("dist_m"))
 
 
 def q_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,7 +528,7 @@ def q_distance_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT event_id,
                round(st_distanceSphere(st_makePoint(lon, lat),
-                                       st_makePoint(2.35d, 48.85d)), 3) AS dist_m
+                                       st_makePoint(2.35d, 48.85d)), 0) AS dist_m
         FROM pts
         WHERE st_distanceSphere(st_makePoint(lon, lat),
                                 st_makePoint(2.35d, 48.85d)) <= 1000000.0
@@ -633,7 +633,7 @@ def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _events_points(spark, sf_dir).select("event_id", "lon", "lat")
     out = proximity_join(pts, PROX_QUERIES, PROX_RADIUS)
     return out.select("query_id", "event_id",
-                      F.round("dist_m", 3).alias("dist_m"))
+                      F.round("dist_m", 0).alias("dist_m"))
 
 
 def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +643,7 @@ def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                   "lon", "lat")
     out = tube_select(pts, TUBE_TRACK, radius_m=TUBE_RADIUS,
                       dt_seconds=TUBE_DT)
-    return out.select("event_id", F.round("dist_m", 3).alias("dist_m"))
+    return out.select("event_id", F.round("dist_m", 0).alias("dist_m"))
 
 
 def q_z3_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,7 +1179,7 @@ def q_point2point(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t_start"),
             F.col("ts_end").cast("timestamp").cast("double")
             .alias("t_end"),
-            F.round("dist_m", 3).alias("dist_m"))
+            F.round("dist_m", 0).alias("dist_m"))
         out.schema  # force analysis while UTC is active
         return out
     finally:
@@ -1774,7 +1774,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT q.query_id,
                      row_number() OVER (PARTITION BY q.query_id ORDER BY {hav}, p.event_id) AS rank,
                      p.event_id,
-                     round({hav}, 3) AS dist_m
+                     round({hav}, 0) AS dist_m
               FROM {pts} p CROSS JOIN {_knn_values_sql()}
             ) WHERE rank <= {KNN_K} ORDER BY query_id, rank""",
         "density_grid": f"""
@@ -1794,7 +1794,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= -30 AND lon <= 40 AND lat >= -20 AND lat <= 35
             ORDER BY event_id""",
         "distance_filter": f"""
-            SELECT event_id, round({hav_paris}, 3) AS dist_m
+            SELECT event_id, round({hav_paris}, 0) AS dist_m
             FROM {pts} WHERE {hav_paris} <= 1000000.0 ORDER BY event_id""",
         "geohash_agg": f"""
             WITH b AS (
@@ -1927,7 +1927,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.y0 <= b.y1 AND b.y0 <= a.y1
             ORDER BY a, b""",
         "proximity": f"""
-            SELECT q.query_id, p.event_id, round({hav}, 3) AS dist_m
+            SELECT q.query_id, p.event_id, round({hav}, 0) AS dist_m
             FROM {pts} p CROSS JOIN (VALUES {", ".join(
                 f"('{q}', {x!r}, {y!r})" for (q, x, y) in PROX_QUERIES)})
                  AS q(query_id, qlon, qlat)
@@ -1937,7 +1937,7 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS (SELECT e.event_id, e.ts, d.lon, d.lat
                        FROM events e JOIN {pts} d ON e.event_id = d.event_id)
             SELECT p.event_id, round(min({_haversine_sql(
-                "p.lon", "p.lat", "t.qlon", "t.qlat")}), 3) AS dist_m
+                "p.lon", "p.lat", "t.qlon", "t.qlat")}), 0) AS dist_m
             FROM p CROSS JOIN (VALUES {", ".join(
                 f"(TIMESTAMP '{t}', {x!r}, {y!r})"
                 for (t, x, y) in TUBE_TRACK)}) AS t(qts, qlon, qlat)
@@ -2163,7 +2163,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pts
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT user_id, seg, x1, y1, x2, y2, t_start, t_end,
-                   round({_haversine_sql('x1', 'y1', 'x2', 'y2')}, 3)
+                   round({_haversine_sql('x1', 'y1', 'x2', 'y2')}, 0)
                      AS dist_m
             FROM seg
             WHERE n > 5 AND x2 IS NOT NULL
