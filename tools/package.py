@@ -17,4 +17,5 @@ def main(out: str = "geomesa_spark.zip") -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--out"]
+    main(*args)
