@@ -81,3 +81,50 @@ def test_point_in_box_agrees_with_arithmetic(p, b):
     assert gp.contains(b, p) == inside
     assert gp.covers(b, p) == (inside or on_edge)
     assert gp.intersects(b, p) == (inside or on_edge)
+
+
+lon_g = st.floats(min_value=-180.0, max_value=180.0,
+                  allow_nan=False, allow_infinity=False)
+lat_g = st.floats(min_value=-89.9, max_value=89.9,
+                  allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon1=lon_g, lat1=lat_g, lon2=lon_g, lat2=lat_g, lon3=lon_g,
+       lat3=lat_g)
+def test_haversine_metric_laws(lon1, lat1, lon2, lat2, lon3, lat3):
+    """Great-circle distance is a metric: symmetric, zero on identity,
+    bounded by pi*R, and triangle-inequal (within float slack)."""
+    import numpy as np
+
+    from geomesa_spark.geo.measures import (EARTH_MEAN_RADIUS_M,
+                                            haversine_m)
+
+    d12 = float(haversine_m(lon1, lat1, lon2, lat2))
+    d21 = float(haversine_m(lon2, lat2, lon1, lat1))
+    assert d12 == d21
+    assert float(haversine_m(lon1, lat1, lon1, lat1)) == 0.0
+    assert 0.0 <= d12 <= np.pi * EARTH_MEAN_RADIUS_M * (1 + 1e-12)
+    d13 = float(haversine_m(lon1, lat1, lon3, lat3))
+    d23 = float(haversine_m(lon2, lat2, lon3, lat3))
+    assert d13 <= d12 + d23 + 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon1=lon_g, lat1=st.floats(min_value=-80.0, max_value=80.0),
+       lon2=lon_g, lat2=st.floats(min_value=-80.0, max_value=80.0))
+def test_vincenty_agrees_with_sphere(lon1, lat1, lon2, lat2):
+    """Spheroid (Vincenty) and sphere (haversine) distances agree within
+    the earth's flattening (~0.34%) wherever Vincenty converges — the
+    same sanity bound the reference's GeometricDistanceFunctions tests
+    rely on for its spheroid/sphere pair."""
+    from geomesa_spark.geo.measures import haversine_m, vincenty_m
+
+    dh = float(haversine_m(lon1, lat1, lon2, lat2))
+    if dh < 1.0:
+        return  # sub-meter: relative comparison meaningless
+    try:
+        dv = float(vincenty_m(lon1, lat1, lon2, lat2))
+    except Exception:
+        return  # near-antipodal non-convergence: documented Vincenty gap
+    assert abs(dv - dh) / dh < 0.0071  # < 2x flattening
