@@ -7,6 +7,7 @@ reach them). Every entry point now ships the package itself.
 """
 
 import os
+import sys
 import zipfile
 
 from geomesa_spark import shipping
@@ -49,3 +50,18 @@ def test_entry_module_uses_shipping():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = open(os.path.join(root, "__spark_entry__.py")).read()
     assert "from geomesa_spark.shipping import ship_package" in src
+
+
+def test_run_query_list_names_all_queries():
+    """jobs/run_query.py --list prints exactly the registry's names
+    (the CLI is the operator's entry point to the driver-gated set)."""
+    import subprocess
+
+    import __spark_entry__ as entry
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "jobs", "run_query.py"),
+         "--list"], capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0
+    assert out.stdout.split() == list(entry.queries())
