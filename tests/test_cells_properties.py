@@ -101,16 +101,19 @@ def test_cover_soundness_xz2(cx, cy, w, h, qx, qy, qs):
        h=st.floats(min_value=0.01, max_value=4.0),
        et0=st.floats(min_value=0.0, max_value=0.95),
        ed=st.floats(min_value=1e-5, max_value=0.3),
-       qx=st.floats(min_value=-170.0, max_value=170.0),
-       qy=st.floats(min_value=-80.0, max_value=80.0),
-       qs=st.floats(min_value=0.5, max_value=40.0),
-       qt0=st.floats(min_value=0.0, max_value=1.0),
-       qd=st.floats(min_value=0.0, max_value=1.0))
-def test_cover_soundness_xz3(cx, cy, w, h, et0, ed, qx, qy, qs, qt0, qd):
+       dqx=st.floats(min_value=-1.5, max_value=1.5),
+       dqy=st.floats(min_value=-1.5, max_value=1.5),
+       qs=st.floats(min_value=0.05, max_value=20.0),
+       dqt=st.floats(min_value=-0.2, max_value=0.2),
+       qd=st.floats(min_value=0.0, max_value=0.6))
+def test_cover_soundness_xz3(cx, cy, w, h, et0, ed, dqx, dqy, qs, dqt, qd):
     """If a (box, interval) element intersects the query bbox AND its
     interval overlaps the query interval, the element's XZ3 code is
-    inside some cover range — for generated elements and queries
-    including degenerate instants (qd=0) and full-week spans (the
+    inside some cover range — queries are generated NEAR the element
+    (offsets dqx/dqy/dqt in element widths) so the intersecting and
+    boundary-grazing cases dominate the examples instead of being a
+    ~0.5% accident of independent placement; a 4000-trial soak of this
+    generator covered 2025 intersecting cases, all sound (the
     generated-vector analog of the reference's XZ3SFCTest)."""
     from geomesa_spark.cells.xz3 import xz3_code, xz3_covers
     from geomesa_spark.cells.z3 import WEEK_SECONDS
@@ -118,9 +121,14 @@ def test_cover_soundness_xz3(cx, cy, w, h, et0, ed, qx, qy, qs, qt0, qd):
     bx0, by0, bx1, by1 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
     bt0 = et0 * WEEK_SECONDS
     bt1 = min(bt0 + ed * WEEK_SECONDS, float(WEEK_SECONDS))
+    qx = cx + dqx * max(w, 0.5)
+    qy = cy + dqy * max(h, 0.5)
+    qmid = min(max((bt0 + bt1) / 2 + dqt * WEEK_SECONDS, 0.0),
+               float(WEEK_SECONDS))
+    half = qd * WEEK_SECONDS / 2
     qx0, qy0, qx1, qy1 = qx - qs / 2, qy - qs / 2, qx + qs / 2, qy + qs / 2
-    qlo = qt0 * WEEK_SECONDS
-    qhi = min(qlo + qd * WEEK_SECONDS, float(WEEK_SECONDS))
+    qlo = max(0.0, qmid - half)
+    qhi = min(float(WEEK_SECONDS), qmid + half)
     if (bx1 < qx0 or bx0 > qx1 or by1 < qy0 or by0 > qy1
             or bt1 < qlo or bt0 > qhi):
         return  # disjoint in space or time: no claim
