@@ -754,6 +754,29 @@ def q_xz3_bbox_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- training-data pipeline ops
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / IPv4 / long id-runs masked + counted,
+    staged so counts equal replacements). The fixture corpus contains no
+    PII, so every third document is deterministically augmented from
+    doc_id with one of each kind — the SQL twin builds the identical
+    augmented text, making the mask verification non-vacuous. Pure
+    Catalyst regex (shared Java-regex/RE2 subset), zero Python — one
+    narrow projection at any corpus size."""
+    from geomesa_spark.text.analysis import pii_mask
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"), did,
+                 F.lit("@mail.example.com from 10."),
+                 (F.col("doc_id") % 256).cast("string"), F.lit(".0."),
+                 (F.col("doc_id") % 100).cast("string"), F.lit(" acct "),
+                 (F.col("doc_id") * 1234567 + 100000000).cast("string"))
+    ).otherwise(F.col("text"))
+    out = pii_mask(docs.select("doc_id", aug.alias("text")))
+    return out.select("doc_id", "n_emails", "n_ips", "n_idnums", "masked")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features per document."""
     from geomesa_spark.text.analysis import quality_features
@@ -1361,6 +1384,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "ann_routed": q_ann_routed,
+        "pii_scrub": q_pii_scrub,
         "spatial_join_contains": q_spatial_join_contains,
         "spatial_join_intersects": q_spatial_join_intersects,
         "knn": q_knn,
@@ -2002,6 +2026,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= 60.0 AND lon <= 150.0
               AND lat >= 55.0 AND lat <= 75.0
             ORDER BY event_id""",
+        # pii_scrub: DuckDB regexp_replace needs the 'g' flag for
+        # global replacement (Spark replaces all matches by default);
+        # the patterns are the shared Java-regex/RE2 subset from
+        # text/analysis.py (no \b, no lookaround, no backreferences)
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact user' || doc_id
+                            || '@mail.example.com from 10.'
+                            || (doc_id % 256) || '.0.' || (doc_id % 100)
+                            || ' acct ' || (doc_id * 1234567 + 100000000)
+                     ELSE text END AS t
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1,
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))
+                       AS n_ips,
+                     regexp_replace(t1,
+                       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}',
+                       '<IP>', 'g') AS t2
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_emails, n_ips,
+                     len(regexp_extract_all(t2, '\\d{9,}')) AS n_idnums,
+                     regexp_replace(t2, '\\d{9,}', '<ID>', 'g') AS masked
+              FROM s2)
+            SELECT doc_id, n_emails, n_ips, n_idnums, masked
+            FROM s3 ORDER BY doc_id""",
         "text_quality": f"""
             WITH u AS (
               SELECT doc_id, nc, len(toks) AS nt, list_distinct(toks) AS dt,

@@ -179,3 +179,37 @@ def repetition_features(df: DataFrame, *, id_col: str = "doc_id",
         F.round(top_share, 6).alias("rep_top_bigram_share"),
         ((top_share > top_bigram_max)
          | (dup_frac > dup_token_max)).alias("rep_flagged"))
+
+
+# Conservative PII patterns valid with IDENTICAL semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded/unbounded repeats,
+# no backreferences, no lookaround, no \b.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_IDNUM = r"\d{9,}"
+
+
+def pii_mask(df: DataFrame, *, text: str = "text",
+             out: str = "masked") -> DataFrame:
+    """Mask common PII (emails, IPv4 addresses, long id-like digit runs)
+    and count each kind — the redaction pass a training-data pipeline
+    runs before a corpus leaves quarantine. Pure Catalyst
+    ``regexp_replace``/``regexp_count`` (whole-stage codegen, zero
+    Python), so the pass is one narrow projection at any corpus size.
+
+    Masking is STAGED — emails first, then IPv4 over the email-masked
+    text, then id-runs over that — and each count is taken on the stage
+    input its masking sees, so counts always equal the number of
+    replacements performed (an email's digits can never double-count as
+    an id-run). Extension operator per the task brief's training-data
+    pipeline category; the reference has no PII surface."""
+    t0 = F.col(text)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_ids = F.regexp_count(t2, F.lit(PII_IDNUM))
+    t3 = F.regexp_replace(t2, PII_IDNUM, "<ID>")
+    return df.withColumns({
+        "n_emails": n_emails, "n_ips": n_ips, "n_idnums": n_ids,
+        out: t3})

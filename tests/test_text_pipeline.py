@@ -460,3 +460,49 @@ class TestHammingPairs:
         got = [(r.a, r.b, r.hamming) for r in phash_pairs(
             df, max_hamming=3).collect()]
         assert got == [("a", "a2", 2)]
+
+
+class TestPiiMask:
+    """pii_mask: staged email -> IPv4 -> id-run masking with counts that
+    equal the replacements each stage performs."""
+
+    def _run(self, spark, texts):
+        from geomesa_spark.text.analysis import pii_mask
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        return {r["doc_id"]: r for r in pii_mask(df).collect()}
+
+    def test_masks_and_counts(self, spark):
+        rows = self._run(spark, [
+            "mail a.b@x.org and c@y.co.uk now",
+            "host 10.0.0.1 and 192.168.255.254",
+            "acct 123456789 ref 98765432100",
+            "clean text, nothing to mask",
+        ])
+        assert rows[0]["n_emails"] == 2 and rows[0]["masked"] == \
+            "mail <EMAIL> and <EMAIL> now"
+        assert rows[1]["n_ips"] == 2 and rows[1]["masked"] == \
+            "host <IP> and <IP>"
+        assert rows[2]["n_idnums"] == 2 and rows[2]["masked"] == \
+            "acct <ID> ref <ID>"
+        r = rows[3]
+        assert (r["n_emails"], r["n_ips"], r["n_idnums"]) == (0, 0, 0)
+        assert r["masked"] == "clean text, nothing to mask"
+
+    def test_staging_prevents_double_count(self, spark):
+        # the email's digits must NOT count as an id-run (emails are
+        # masked before the id stage sees the text); an id-run adjacent
+        # to the email still counts once
+        rows = self._run(spark, ["user1234567890@ex.com pin 555666777888"])
+        r = rows[0]
+        assert r["n_emails"] == 1
+        assert r["n_idnums"] == 1
+        assert r["masked"] == "<EMAIL> pin <ID>"
+
+    def test_ip_not_recounted_as_idnum(self, spark):
+        # IPv4 octets are masked before the id stage; short digit runs
+        # survive unmasked
+        rows = self._run(spark, ["ip 1.2.3.4 port 8080"])
+        r = rows[0]
+        assert r["n_ips"] == 1 and r["n_idnums"] == 0
+        assert r["masked"] == "ip <IP> port 8080"
