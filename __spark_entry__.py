@@ -777,6 +777,26 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_emails", "n_ips", "n_idnums", "masked")
 
 
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL frequency (the corpus domain-mixing profile). The
+    fixture has no URLs, so every fourth document is deterministically
+    augmented from doc_id with two URLs over a 50-host family plus one
+    shared CDN host — the SQL twin builds identical text, so extraction,
+    host reduction, and both counts are verified non-vacuously."""
+    from geomesa_spark.text.analysis import url_host_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" see https://site"),
+                 (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" and http://cdn.example.net/x"),
+                 (F.col("doc_id") % 7).cast("string"))
+    ).otherwise(F.col("text"))
+    return url_host_stats(docs.select("doc_id", aug.alias("text")))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features per document."""
     from geomesa_spark.text.analysis import quality_features
@@ -1385,6 +1405,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "ann_routed": q_ann_routed,
         "pii_scrub": q_pii_scrub,
+        "url_host_stats": q_url_host_stats,
         "spatial_join_contains": q_spatial_join_contains,
         "spatial_join_intersects": q_spatial_join_intersects,
         "knn": q_knn,
@@ -2026,6 +2047,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= 60.0 AND lon <= 150.0
               AND lat >= 55.0 AND lat <= 75.0
             ORDER BY event_id""",
+        "url_host_stats": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       text || ' see https://site' || (doc_id % 50)
+                            || '.example.org/p/' || doc_id
+                            || ' and http://cdn.example.net/x'
+                            || (doc_id % 7)
+                     ELSE text END AS t
+              FROM documents),
+            urls AS (
+              SELECT doc_id, unnest(regexp_extract_all(t,
+                'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?')) AS url
+              FROM aug)
+            SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+                     AS host,
+                   count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM urls GROUP BY 1 ORDER BY host""",
         # pii_scrub: DuckDB regexp_replace needs the 'g' flag for
         # global replacement (Spark replaces all matches by default);
         # the patterns are the shared Java-regex/RE2 subset from

@@ -213,3 +213,27 @@ def pii_mask(df: DataFrame, *, text: str = "text",
     return df.withColumns({
         "n_emails": n_emails, "n_ips": n_ips, "n_idnums": n_ids,
         out: t3})
+
+
+# URL pattern in the same shared Java-regex/RE2 subset as the PII set
+URL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_host_stats(df: DataFrame, *, text: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-host URL frequency over a corpus: extract every URL, reduce to
+    its host, count mentions and distinct documents. The domain-mixing
+    profile a training-data pipeline computes before reweighting or
+    filtering sources. Catalyst-only (regexp_extract_all + explode +
+    one partial-aggregated groupBy); the explode carries just the URL
+    strings, never the document text."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text), F.lit(URL_RE),
+                                       F.lit(0))).alias("url"))
+    host = F.regexp_extract("url", URL_HOST_RE, 1)
+    return (urls.select(id_col, host.alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.countDistinct(id_col).alias("n_docs")))

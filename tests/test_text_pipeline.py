@@ -506,3 +506,20 @@ class TestPiiMask:
         r = rows[0]
         assert r["n_ips"] == 1 and r["n_idnums"] == 0
         assert r["masked"] == "ip <IP> port 8080"
+
+
+def test_url_host_stats(spark):
+    """url_host_stats: extraction, host reduction, and both counts."""
+    from geomesa_spark.text.analysis import url_host_stats
+    df = spark.createDataFrame([
+        (0, "see https://a.example.org/p/1 and https://a.example.org/q"),
+        (1, "only http://b.example.net/x here"),
+        (2, "again https://a.example.org/r"),
+        (3, "no urls at all"),
+    ], "doc_id long, text string")
+    rows = {r["host"]: r for r in url_host_stats(df).collect()}
+    assert set(rows) == {"a.example.org", "b.example.net"}
+    assert rows["a.example.org"]["n_urls"] == 3
+    assert rows["a.example.org"]["n_docs"] == 2
+    assert rows["b.example.net"]["n_urls"] == 1
+    assert rows["b.example.net"]["n_docs"] == 1
