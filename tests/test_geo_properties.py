@@ -107,7 +107,12 @@ def test_haversine_metric_laws(lon1, lat1, lon2, lat2, lon3, lat3):
     assert 0.0 <= d12 <= np.pi * EARTH_MEAN_RADIUS_M * (1 + 1e-12)
     d13 = float(haversine_m(lon1, lat1, lon3, lat3))
     d23 = float(haversine_m(lon2, lat2, lon3, lat3))
-    assert d13 <= d12 + d23 + 1e-6
+    # slack: near the antipode arcsin's derivative diverges, so the
+    # float error of a ~2e7 m distance reaches R*sqrt(ulp) ~ 0.1 m
+    # (hypothesis found a 7e-6 m violation for three points on one
+    # near-antipodal great circle; the exact distances satisfy the
+    # identity exactly — measured, not a formula bug)
+    assert d13 <= d12 + d23 + 0.5
 
 
 @settings(max_examples=100, deadline=None)
