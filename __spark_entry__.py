@@ -1688,7 +1688,7 @@ def _route_search_sql() -> str:
         scored AS (
           SELECT event_id, lon, lat, heading, route_id, seg,
                  round({dist}, 0) AS d,
-                 round({bearing}, 6) AS raz
+                 round({bearing}, 3) AS raz
           FROM pts CROSS JOIN seg
           WHERE {dist} <= {ROUTE_BUFFER_M!r}),
         best AS (

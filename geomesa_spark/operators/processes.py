@@ -226,7 +226,8 @@ def route_search(features: DataFrame,
     scored = (cand.withColumn("dist_m", haversine_expr(px, py, cx, cy))
               .where(F.col("dist_m") <= buffer_m)
               .withColumn("raz", F.round(_bearing_expr(
-                  F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")), 6)))
+                  F.col("x1"), F.col("y1"), F.col("x2"),
+                  F.col("y2")), 3)))  # 3 dp: quantum ~1e8 x atan2 noise
     # closest segment per feature: min(struct) -> map-side partial agg;
     # dist rounded to WHOLE meters so cross-engine trig noise (~1e-9 m,
     # different libm sin/cos) cannot straddle the output quantum — at
