@@ -840,6 +840,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+# Per-shard token budget for the packing query.
+SHARD_TOKENS = 4096
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout: each document's shard id and offset under a
+    4096-token budget in doc_id order. Semantically one global running
+    token count (the oracle runs the literal unpartitioned window); the
+    Spark plan is the two-level distributed prefix sum from
+    operators/packing.py — per-bucket window + tiny bucket-prefix
+    broadcast — bit-identical at any parallelism, never single-partition."""
+    from geomesa_spark.operators.packing import shard_pack
+    from geomesa_spark.text.analysis import token_count
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", token_count("text").alias("n_tokens")))
+    out = shard_pack(docs, tokens_col="n_tokens", order_col="doc_id",
+                     shard_tokens=SHARD_TOKENS)
+    return out.select("doc_id", F.col("n_tokens").cast("long"),
+                      "global_start", "shard_id", "shard_offset")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features per document."""
     from geomesa_spark.text.analysis import quality_features
@@ -1439,7 +1460,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries only.  Queries that have not yet appeared in a driver
     # CORRECTNESS window lead the dict; every entry past position 50 is
     # driver-green in CORRECTNESS_r04 (and still swept every session by
-    # this repo's own `tools/check_oracles.py`, all 60 green).
+    # this repo's own `tools/check_oracles.py`, all 61 green).
     return {
         "id_lookup": q_id_lookup,
         "hash_attribute": q_hash_attribute,
@@ -1451,6 +1472,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": q_url_host_stats,
         "contamination_check": q_contamination_check,
         "stratified_sample": q_stratified_sample,
+        "shard_pack": q_shard_pack,
         "spatial_join_contains": q_spatial_join_contains,
         "spatial_join_intersects": q_spatial_join_intersects,
         "knn": q_knn,
@@ -1490,9 +1512,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "stats_sketches": q_stats_sketches,
         "density_footprint": q_density_footprint,
-        "descriptive_stats": q_descriptive_stats,
         # --- past the driver's 50-entry window (long-stable, driver-green
         # in CORRECTNESS_r04; still swept by tools/check_oracles.py) ---
+        "descriptive_stats": q_descriptive_stats,
         "region_self_join": q_region_self_join,
         "convex_hull": q_convex_hull,
         "bin_export": q_bin_export,
@@ -2133,6 +2155,27 @@ def oracle_sql() -> dict[str, str]:
                   for k, v in SAMPLE_RATES.items())}
               ELSE {int(SAMPLE_DEFAULT_RATE * (1 << 32))} END
             ORDER BY doc_id""",
+        # shard_pack's oracle IS the naive unpartitioned running-sum
+        # window the Spark operator refuses to run (single-partition at
+        # scale) — DuckDB is welcome to it at gate size, and the compare
+        # proves the distributed two-level scan is bit-identical to it.
+        "shard_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id)
+                       - n_tokens AS global_start
+              FROM t)
+            SELECT doc_id, n_tokens, global_start,
+                   CAST(floor(global_start / {SHARD_TOKENS}) AS BIGINT)
+                     AS shard_id,
+                   global_start % {SHARD_TOKENS} AS shard_offset
+            FROM c ORDER BY doc_id""",
         # pii_scrub: DuckDB regexp_replace needs the 'g' flag for
         # global replacement (Spark replaces all matches by default);
         # the patterns are the shared Java-regex/RE2 subset from
