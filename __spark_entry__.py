@@ -2172,8 +2172,7 @@ def oracle_sql() -> dict[str, str]:
                        - n_tokens AS global_start
               FROM t)
             SELECT doc_id, n_tokens, global_start,
-                   CAST(floor(global_start / {SHARD_TOKENS}) AS BIGINT)
-                     AS shard_id,
+                   global_start // {SHARD_TOKENS} AS shard_id,
                    global_start % {SHARD_TOKENS} AS shard_offset
             FROM c ORDER BY doc_id""",
         # pii_scrub: DuckDB regexp_replace needs the 'g' flag for

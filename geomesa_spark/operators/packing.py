@@ -49,7 +49,10 @@ def shard_pack(df: DataFrame, *, tokens_col: str, order_col: str,
     if shard_tokens <= 0:
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
     ok = F.col(order_col).cast("long")
-    d = df.withColumn("_bkt", F.floor(ok / bucket_size))
+    # integer-exact bucket label (floor(ok / B) via double loses exactness
+    # past 2^53; subtracting the remainder stays exact for any long key
+    # and preserves bucket order, which steps 2-3 rely on)
+    d = df.withColumn("_bkt", ok - F.pmod(ok, F.lit(bucket_size)))
 
     w_local = (Window.partitionBy("_bkt").orderBy(ok)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -67,8 +70,10 @@ def shard_pack(df: DataFrame, *, tokens_col: str, order_col: str,
              - F.col(tokens_col).cast("long"))
     return (d.join(F.broadcast(prefixes), "_bkt")
             .withColumn("global_start", start)
+            # integer `div`, not floor(x / S): double division loses
+            # exactness once the corpus token count passes 2^53
             .withColumn("shard_id",
-                        F.floor(F.col("global_start") / shard_tokens))
+                        F.expr(f"global_start div {int(shard_tokens)}"))
             .withColumn("shard_offset",
                         F.col("global_start") % shard_tokens)
             .drop("_bkt", "_cum_incl", "_pre"))
