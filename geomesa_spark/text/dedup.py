@@ -602,6 +602,12 @@ def contamination_overlap(corpus: DataFrame, benchmark: DataFrame, *,
     two DIFFERENT shingles (~1e-19/pair) could overcount n_shared by 1;
     the DuckDB oracle joins the strings themselves and stays exact.
     """
+    # NULL text never contaminates and never contributes benchmark
+    # shingles: Spark's concat_ws folds a NULL token array to '' where
+    # SQL engines keep NULL (which never equi-joins), so filtering here
+    # keeps the operator's semantics engine-independent
+    corpus = corpus.where(F.col(text).isNotNull())
+    benchmark = benchmark.where(F.col(text).isNotNull())
     c = shingles(corpus, n=n, text=text).select(
         id_col, F.size("shingles").cast("long").alias("n_shingles"),
         F.explode(F.transform("shingles",

@@ -118,6 +118,17 @@ class TestContaminationOverlap:
         assert set(rows) == {1}
         assert rows[1]["n_shared"] == 1 and rows[1]["ratio"] == 1.0
 
+    def test_null_text_never_contaminates(self, spark):
+        """NULL text drops on both sides (SQL-engine parity: a NULL
+        shingle never equi-joins); empty strings still match each other."""
+        from geomesa_spark.text.dedup import contamination_overlap
+        bench = spark.createDataFrame([(9, None), (10, "")],
+                                      "doc_id long, text string")
+        corp = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x y")], "doc_id long, text string")
+        rows = contamination_overlap(corp, bench).collect()
+        assert [r["doc_id"] for r in rows] == [2]
+
     def test_plan_broadcasts_benchmark(self, spark):
         """The benchmark shingle set must broadcast (never shuffle the
         exploded corpus shingles), leaving one corpus-sized exchange —
