@@ -40,11 +40,14 @@ def shard_pack(df: DataFrame, *, tokens_col: str, order_col: str,
     ``shard_tokens`` budget contains that position, and the position
     within the shard.
 
-    ``order_col`` must be a non-negative integer key whose ascending order
+    ``order_col`` must be a UNIQUE integer key whose ascending order
     defines the corpus order (dense ids not required — gaps only skip
-    bucket rows). ``bucket_size`` trades bucket-frame size against
-    per-bucket parallelism; the default 2^20 keeps the bucket-totals frame
-    ~10^6 rows per 10^12 documents.
+    bucket rows; duplicates would make the running sum depend on the
+    tie-break order, which differs between runs and engines — Spark's
+    ROWS frame splits ties, SQL's default RANGE frame lumps them).
+    ``bucket_size`` trades bucket-frame size against per-bucket
+    parallelism; the default 2^20 keeps the bucket-totals frame ~10^6
+    rows per 10^12 documents.
     """
     if shard_tokens <= 0:
         raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")

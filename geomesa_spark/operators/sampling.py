@@ -70,6 +70,12 @@ def stratified_sample(df: DataFrame, *, strata: str,
 
     The result is a filter over the input — all input columns survive, and
     the plan stays a single narrow codegen stage over the scan.
+
+    NULL handling: a NULL stratum takes ``default_rate`` (the ``when``
+    chain falls through, same as SQL ``CASE``). A NULL key under the
+    default xxhash64 hash still produces a hash (all NULL-key rows share
+    one keep/drop fate); under :func:`unit_hash_multiplicative` the NULL
+    comparison is NULL and the row is DROPPED — the SQL-engine behavior.
     """
     if unit_hash is None:
         unit_hash = unit_hash_xxhash(F.col(key), salt)
