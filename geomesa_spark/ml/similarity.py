@@ -245,6 +245,80 @@ def load_lsh_index(spark, path: str) -> tuple[DataFrame, dict | None]:
     return spark.read.parquet(path), read_lsh_meta(path)
 
 
+def compute_probe_rows(q_ids, q_mat_unit: np.ndarray, *,
+                       n_planes: int, n_tables: int, dim: int,
+                       seed: int, multiprobe: int) -> set[tuple[str, int]]:
+    """Driver-side probe expansion: the set of (query_id, probed bucket)
+    pairs for a UNIT-NORMALIZED query matrix (``_collect_matrix``'s
+    output convention). The SINGLE source of truth shared by
+    ``lsh_topk_indexed`` and the DuckDB oracle's probe-sidecar writer —
+    both must expand the identical buckets or the oracle checks a
+    different candidate set than the engine scanned."""
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    masks = np.asarray(_probe_masks(n_planes, multiprobe), dtype=np.int64)
+    probe_rows: set[tuple[str, int]] = set()
+    for t in range(n_tables):
+        bks = ((q_mat_unit @ planes[t]) > 0) @ weights \
+            + (t << np.int64(n_planes + 1))
+        for qid, bk in zip(q_ids, bks.tolist()):
+            probe_rows.update((str(qid), int(bk ^ m))
+                              for m in masks.tolist())
+    return probe_rows
+
+
+def build_lsh_index_local(embeddings_parquet: str, path: str, *,
+                          n_planes: int | None = None, n_tables: int = 8,
+                          dim: int = 64, seed: int = 11,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bucket_partitions: int = 64) -> None:
+    """Numpy/pyarrow twin of ``build_lsh_index`` for oracle fixtures —
+    lets the DuckDB side materialize the index without a SparkSession
+    (the same role as ``ml/ivf.py:build_ivf_index_local``). The
+    signature kernel is the identical numpy expression the pandas UDF
+    runs (raw — NOT normalized — vectors through the seeded planes), so
+    either builder yields bit-identical (vec_id, bk) rows; correctness
+    never depends on which builder ran because query and oracle read
+    the same stored files. ``n_planes=None`` sizes to the corpus via
+    ``default_n_planes`` exactly like the ingest path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(embeddings_parquet, columns=[id_col, vec_col])
+    ids = tbl[id_col].to_numpy()
+    mat = np.stack(tbl[vec_col].to_numpy()).astype(np.float64)
+    if n_planes is None:
+        n_planes = default_n_planes(len(ids))
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    all_ids = np.tile(ids, n_tables)
+    all_bks = np.concatenate([
+        ((mat @ planes[t]) > 0) @ weights + (t << np.int64(n_planes + 1))
+        for t in range(n_tables)])
+    pts = all_bks % np.int64(bucket_partitions)
+    for pt in range(bucket_partitions):
+        mask = pts == pt
+        if not mask.any():
+            continue
+        order = np.argsort(all_bks[mask], kind="stable")
+        sub = pa.table({
+            id_col: pa.array(all_ids[mask][order]),
+            "bk": pa.array(all_bks[mask][order], pa.int64()),
+        })
+        d = os.path.join(path, f"pt={pt}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, "part-00000.parquet"))
+    _write_lsh_meta(path, {"n_planes": int(n_planes),
+                           "n_tables": n_tables, "dim": dim,
+                           "seed": seed,
+                           "bucket_partitions": bucket_partitions})
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
 def build_lsh_index(corpus: DataFrame, path: str, *,
                     n_planes: int = 6, n_tables: int = 8, dim: int = 64,
                     seed: int = 11, id_col: str = "vec_id",
@@ -329,17 +403,9 @@ def lsh_topk_indexed(index: DataFrame, corpus: DataFrame,
     q_ids, q_mat = _collect_matrix(queries, query_id_col, vec_col)
     if not q_ids:
         q_mat = np.zeros((0, dim))
-    planes = np.random.default_rng(seed).standard_normal(
-        (n_tables, dim, n_planes))
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-    masks = np.asarray(_probe_masks(n_planes, multiprobe), dtype=np.int64)
-    probe_rows: set[tuple[str, int]] = set()
-    for t in range(n_tables):
-        bks = ((q_mat @ planes[t]) > 0) @ weights \
-            + (t << np.int64(n_planes + 1))
-        for qid, bk in zip(q_ids, bks.tolist()):
-            probe_rows.update((str(qid), int(bk ^ m))
-                              for m in masks.tolist())
+    probe_rows = compute_probe_rows(q_ids, q_mat, n_planes=n_planes,
+                                    n_tables=n_tables, dim=dim, seed=seed,
+                                    multiprobe=multiprobe)
     probe_df = spark.createDataFrame(
         sorted(probe_rows), f"{query_id_col} string, bk long")
     probe_vals = sorted({bk for _, bk in probe_rows})
