@@ -434,6 +434,20 @@ def _ivf_oracle_entry() -> dict[str, str]:
 _LSH_PROBES_FILE = "_lsh_probes_q50_mp2.parquet"
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — tolerant of BOTH
+    single-file tables (the driver fixtures) and Spark-written
+    directory tables (the scaled /tmp fixtures), which
+    ``pq.read_metadata`` alone rejects."""
+    import glob
+
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(os.path.join(path, "*.parquet")))
+    return pq.read_metadata(path).num_rows
+
+
 def _ensure_lsh_oracle_index(sf_dir: str) -> tuple[str, dict]:
     """Materialize the sf-gate LSH index WITHOUT Spark (numpy twin of
     the builder, same parameters as ``_lsh_index_table``) plus a probe
@@ -455,7 +469,7 @@ def _ensure_lsh_oracle_index(sf_dir: str) -> tuple[str, dict]:
     ready = all(os.path.exists(os.path.join(path, f)) for f in
                 ("_SUCCESS", _LSH_META_FILE))
     if not ready:
-        n = pq.read_metadata(emb_pq).num_rows
+        n = _parquet_num_rows(emb_pq)
         build_lsh_index_local(emb_pq, path,
                               n_planes=default_n_planes(n),
                               n_tables=8, bucket_partitions=16)
@@ -566,12 +580,11 @@ def _ann_routed_oracle_entry() -> dict[str, str]:
     when the router switches to a stored index (>=50k vectors). This
     replaces the static exact twin whose green range ended at the
     router's documented crossover."""
-    import pyarrow.parquet as pq
     from geomesa_spark.ml.ivf import read_ivf_meta
     from geomesa_spark.ml.router import decide_ann
     sf_dir = _oracle_sf_dir()
     try:
-        n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
         lsh_path, lsh_meta = _ensure_lsh_oracle_index(sf_dir)
         ivf_path = _ensure_ivf_oracle_index(sf_dir)
         s = decide_ann(n, (n + 49) // 50, lsh_meta=lsh_meta,
