@@ -101,6 +101,28 @@ class TestProbeSidecar:
         assert srows == drows
 
 
+class TestParquetNumRows:
+    def test_counts_single_file_and_directory_tables(self, tmp_path):
+        """The scaled /tmp fixtures are Spark-written parquet
+        DIRECTORIES; the oracle's row-count probe must count those too
+        (pq.read_metadata alone rejects them — the regression degraded
+        the LSH/routed oracles to rows-only exactly at the scale they
+        were built to cover)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __spark_entry__ as entry
+        f = str(tmp_path / "single.parquet")
+        pq.write_table(pa.table({"x": [1, 2, 3]}), f)
+        assert entry._parquet_num_rows(f) == 3
+        d = tmp_path / "dir.parquet"
+        d.mkdir()
+        pq.write_table(pa.table({"x": [1, 2]}), str(d / "part-0.parquet"))
+        pq.write_table(pa.table({"x": [3]}), str(d / "part-1.parquet"))
+        (d / "_SUCCESS").touch()  # non-parquet marker files are skipped
+        assert entry._parquet_num_rows(str(d)) == 3
+
+
 class TestRoutedOracle:
     def test_routed_twin_follows_decider(self, monkeypatch, tmp_path):
         """The ann_routed oracle emits the SQL of the path decide_ann
