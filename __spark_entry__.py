@@ -354,10 +354,9 @@ def _ivf_index_table(spark: SparkSession, sf_dir: str):
 def _ivf_oracle_sql(path: str, nprobe: int) -> str:
     """DuckDB twin of ``q_ivf_topk`` reading the SAME stored index
     (centroid sidecar + inverted lists): replicates probe selection,
-    candidate restriction, and ranking. IVF is approximate by design, so
-    unlike lsh_topk's recall-1.0 exact-oracle gate this verifies the
-    distributed plumbing exactly at any recall — recall itself is
-    measured in pytest."""
+    candidate restriction, and ranking. Verifies the distributed
+    plumbing exactly at any recall — recall itself is measured in
+    pytest (lsh_topk's twin follows the same stored-index design)."""
     return f"""
         WITH cent AS (
           SELECT list_id, CAST(centroid AS DOUBLE[]) AS c
@@ -1154,10 +1153,10 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 over the STORED inverted-list index
     (sqrt(n) spherical-kmeans lists, nprobe=4) for the same query set as
-    ann_topk/lsh_topk. Unlike lsh_topk's exact-top-k oracle (a recall
-    gate), the DuckDB twin reads the SAME stored index and replicates
-    probing + ranking — verifying the distributed prune/join/rank
-    plumbing exactly while recall is asserted separately in pytest."""
+    ann_topk/lsh_topk. The DuckDB twin reads the SAME stored index and
+    replicates probing + ranking — verifying the distributed
+    prune/join/rank plumbing exactly while recall is asserted
+    separately in pytest (lsh_topk's twin now follows this design)."""
     from geomesa_spark.ml.ivf import ivf_topk_indexed
     emb = _emb(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
